@@ -1,0 +1,110 @@
+"""Orbax checkpointing + the SSL→segmentation encoder handoff.
+
+The reference delegates checkpointing to Lightning defaults (SURVEY §5.4)
+and — notably — never loads the BYOL encoder into the U-Net
+(`medical_image_segmentation/train/model/segmentation.py:54` builds with
+``encoder_weights=None`` and nothing restores it). Here the handoff is a
+first-class feature: ``load_byol_encoder_into_unet`` grafts the pretrained
+backbone subtree (params + batch_stats) into the U-Net's ``encoder``
+collection, with optional channel adaptation when the SSL backbone saw RGB
+but the U-Net takes 1-channel CT slices.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(ckpt_dir: str, state: Any, step: int) -> str:
+    """Save a pytree checkpoint at ``<ckpt_dir>/<step>``."""
+    path = os.path.join(os.path.abspath(ckpt_dir), str(step))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(path: str, target: Optional[Any] = None) -> Any:
+    """Restore a pytree checkpoint. ``target`` (abstract or concrete pytree)
+    pins structure/dtypes/shardings when given."""
+    ckptr = ocp.StandardCheckpointer()
+    if target is None:
+        return ckptr.restore(os.path.abspath(path))
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
+    return ckptr.restore(os.path.abspath(path), abstract)
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [int(d) for d in os.listdir(ckpt_dir) if d.isdigit()]
+    return max(steps, default=None)
+
+
+def _adapt_conv1(kernel: jax.Array, target_in: int, how: str = "sum") -> jax.Array:
+    """Adapt a (kh, kw, cin, cout) stem kernel to ``target_in`` channels.
+
+    ``sum`` collapses RGB→1 by summing input channels (preserves response to
+    grayscale inputs replicated across RGB); ``tile`` broadcasts 1→N."""
+    cin = kernel.shape[2]
+    if cin == target_in:
+        return kernel
+    if target_in == 1:
+        if how != "sum":
+            raise ValueError(f"unsupported conv1 adaptation {how!r} for {cin}->1")
+        return jnp.sum(kernel, axis=2, keepdims=True)
+    if cin == 1:
+        return jnp.tile(kernel, (1, 1, target_in, 1)) / target_in
+    raise ValueError(f"cannot adapt conv1 from {cin} to {target_in} channels")
+
+
+def extract_byol_backbone(byol_variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Pull the backbone subtree out of BYOLNet variables.
+
+    BYOLNet params layout: ``params['encoder']['ResNet_0']`` is the backbone
+    (`models/byol.py` — Encoder creates the ResNet as its first anonymous
+    submodule), with matching ``batch_stats`` subtree."""
+    out = {}
+    for coll in ("params", "batch_stats"):
+        if coll in byol_variables:
+            out[coll] = byol_variables[coll]["encoder"]["ResNet_0"]
+    return out
+
+
+def load_byol_encoder_into_unet(
+    unet_variables: Dict[str, Any],
+    byol_variables: Dict[str, Any],
+    adapt_channels: bool = True,
+) -> Dict[str, Any]:
+    """Return U-Net variables with the encoder subtree replaced by the
+    pretrained BYOL backbone. Raises on any shape mismatch other than the
+    stem's input-channel count (adapted when ``adapt_channels``)."""
+    backbone = extract_byol_backbone(byol_variables)
+    new_vars = jax.tree.map(lambda x: x, unet_variables)  # shallow-copy tree
+
+    for coll, sub in backbone.items():
+        tgt = new_vars[coll]["encoder"]
+        if adapt_channels and coll == "params":
+            tgt_kernel = tgt["conv1"]["kernel"]
+            src_kernel = sub["conv1"]["kernel"]
+            if src_kernel.shape != tgt_kernel.shape:
+                sub = dict(sub)
+                sub["conv1"] = {"kernel": _adapt_conv1(src_kernel, tgt_kernel.shape[2])}
+        mismatches = []
+
+        def _check(path, a, b):
+            if a.shape != b.shape:
+                mismatches.append((jax.tree_util.keystr(path), a.shape, b.shape))
+            return b
+
+        merged = jax.tree_util.tree_map_with_path(_check, tgt, sub)
+        if mismatches:
+            raise ValueError(f"encoder shape mismatches in {coll}: {mismatches}")
+        new_vars[coll] = dict(new_vars[coll])
+        new_vars[coll]["encoder"] = merged
+    return new_vars

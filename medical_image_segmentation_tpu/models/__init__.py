@@ -1,0 +1,6 @@
+from medical_image_segmentation_tpu.models.resnet import ResNet, RESNET_CONFIGS, make_resnet
+from medical_image_segmentation_tpu.models.mlp import MLP
+from medical_image_segmentation_tpu.models.unet import UNet
+from medical_image_segmentation_tpu.models.byol import BYOLNet, Encoder
+
+__all__ = ["ResNet", "RESNET_CONFIGS", "make_resnet", "MLP", "UNet", "BYOLNet", "Encoder"]

@@ -1,0 +1,80 @@
+"""Device mesh construction and sharding helpers.
+
+This is the TPU-native replacement for the reference's entire distributed
+stack (PyTorch-Lightning DDP + NCCL + sync_batchnorm,
+`medical_image_segmentation/train/train_ssl.py:77-89`; SURVEY §5.8):
+
+- ``initialize_distributed``: per-host `jax.distributed.initialize` with
+  SLURM/TPU-pod env auto-detection (the reference derives world layout from
+  SLURM env vars, `train_ssl.py:30,56`).
+- ``make_mesh``: one mesh, default a single ``("data",)`` axis over all
+  devices. ResNet/U-Net-scale models need only data parallelism
+  (SURVEY §2.4); the mesh accepts extra axes for spatial sharding of
+  full-res CT slices if desired.
+- Parameters/opt-state are replicated; batches are sharded on ``data``.
+  Under ``jit``, XLA inserts the gradient all-reduce (replacing DDP) and
+  makes BatchNorm statistics global (replacing sync_batchnorm) because the
+  batch-dim reductions cross the sharded axis. Collectives ride ICI within
+  a slice and DCN across slices automatically.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed() -> None:
+    """Initialize multi-host JAX if running under a multi-host launcher.
+
+    No-op on a single host. Honors standard TPU-pod env and the SLURM env
+    contract the reference uses (SLURM_NTASKS/SLURM_PROCID/SLURM_NODELIST).
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    ntasks = int(os.environ.get("SLURM_NTASKS", "1"))
+    if ntasks > 1 and "SLURM_PROCID" in os.environ:
+        jax.distributed.initialize()  # jax auto-detects SLURM / TPU pod env
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    axis_names: Sequence[str] = ("data",),
+    axis_sizes: Optional[Sequence[int]] = None,
+) -> Mesh:
+    """Build a Mesh. Default: all devices on one ``data`` axis.
+
+    ``axis_sizes`` lets callers split devices over multiple axes, e.g.
+    ``axis_names=("data","space")`` with ``axis_sizes=(4,2)`` for spatial
+    sharding of large slices (SURVEY §5.7).
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)
+    if axis_sizes is None:
+        axis_sizes = (len(devices),) + (1,) * (len(axis_names) - 1)
+    if int(np.prod(axis_sizes)) != devices.size:
+        raise ValueError(f"axis_sizes {axis_sizes} != #devices {devices.size}")
+    return Mesh(devices.reshape(axis_sizes), axis_names)
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1, axis: str = "data") -> NamedSharding:
+    """Shard dim 0 over ``axis``, replicate the rest."""
+    spec = P(axis, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Place a host pytree of arrays onto the mesh, batch-dim sharded."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x), axis)),
+        batch,
+    )

@@ -1,0 +1,103 @@
+"""Model shape/structure tests (fp32 on CPU for numerical checks)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from medical_image_segmentation_tpu.models import BYOLNet, Encoder, UNet, make_resnet
+
+
+def _n_params(tree):
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(tree))
+
+
+class TestResNet:
+    def test_resnet18_param_count_matches_torchvision(self):
+        # torchvision resnet18 has 11,689,512 params incl. the 1000-way fc
+        # (512*1000+1000 = 513,000); our backbone omits the fc.
+        model = make_resnet("resnet18", dtype=jnp.float32)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+        assert _n_params(variables["params"]) == 11_689_512 - 513_000
+
+    def test_resnet50_param_count_matches_torchvision(self):
+        model = make_resnet("resnet50", dtype=jnp.float32)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+        # torchvision resnet50: 25,557,032 incl. fc (2048*1000+1000)
+        assert _n_params(variables["params"]) == 25_557_032 - 2_049_000
+
+    def test_pooled_output_dim(self):
+        model = make_resnet("resnet18", dtype=jnp.float32)
+        variables = model.init(jax.random.key(0), jnp.zeros((2, 64, 64, 3)))
+        out, _ = model.apply(variables, jnp.zeros((2, 64, 64, 3)), train=True, mutable=["batch_stats"])
+        assert out.shape == (2, 512)
+
+    def test_pyramid_strides(self):
+        model = make_resnet("resnet18", dtype=jnp.float32)
+        x = jnp.zeros((1, 64, 64, 3))
+        variables = model.init(jax.random.key(0), x)
+        pyr, _ = model.apply(variables, x, train=True, return_pyramid=True, mutable=["batch_stats"])
+        assert [f.shape[1] for f in pyr] == [32, 16, 8, 4, 2]
+        assert [f.shape[-1] for f in pyr] == [64, 64, 128, 256, 512]
+
+    def test_low_res_stem_preserves_resolution(self):
+        model = make_resnet("resnet18", low_res=True, dtype=jnp.float32)
+        x = jnp.zeros((1, 32, 32, 3))
+        variables = model.init(jax.random.key(0), x)
+        pyr, _ = model.apply(variables, x, train=True, return_pyramid=True, mutable=["batch_stats"])
+        assert [f.shape[1] for f in pyr] == [32, 32, 16, 8, 4]
+        # CIFAR stem: 3x3 conv (byol_pytorch.py:58-69)
+        assert variables["params"]["conv1"]["kernel"].shape == (3, 3, 3, 64)
+
+    def test_grayscale_stem(self):
+        model = make_resnet("resnet18", in_channels=1, dtype=jnp.float32)
+        x = jnp.zeros((1, 64, 64, 1))
+        variables = model.init(jax.random.key(0), x)
+        # 1-channel 7x7 stride-2 stem (byol_pytorch.py:71-82)
+        assert variables["params"]["conv1"]["kernel"].shape == (7, 7, 1, 64)
+
+
+class TestUNet:
+    def test_output_shape_and_dtype(self):
+        model = UNet(arch="resnet18", n_classes=1, in_channels=1, dtype=jnp.float32)
+        x = jnp.zeros((2, 64, 64, 1))
+        variables = model.init(jax.random.key(0), x)
+        logits, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+        assert logits.shape == (2, 64, 64, 1)
+        assert logits.dtype == jnp.float32
+
+    def test_eval_mode_uses_running_stats(self):
+        model = UNet(arch="resnet18", n_classes=1, in_channels=1, dtype=jnp.float32)
+        x = jnp.ones((1, 32, 32, 1))
+        variables = model.init(jax.random.key(0), x)
+        out1 = model.apply(variables, x, train=False)
+        out2 = model.apply(variables, x * 2, train=False)
+        assert out1.shape == out2.shape
+
+
+class TestBYOLNet:
+    def test_forward_shapes(self):
+        model = BYOLNet(
+            arch="resnet18", in_channels=3, low_res=True, hidden_dim=512, proj_dim=64,
+            num_classes=10, dtype=jnp.float32,
+        )
+        x = jnp.zeros((4, 32, 32, 3))
+        variables = model.init(jax.random.key(0), x)
+        (p, z, feats, logits), _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+        assert p.shape == (4, 64) and z.shape == (4, 64)
+        assert feats.shape == (4, 512) and logits.shape == (4, 10)
+
+    def test_embed_matches_encoder_subtree(self):
+        """Standalone Encoder applied with the BYOLNet 'encoder' subtree must
+        reproduce BYOLNet.embed — required for the momentum branch."""
+        model = BYOLNet(arch="resnet18", low_res=True, hidden_dim=256, proj_dim=32, dtype=jnp.float32)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)).astype(np.float32))
+        variables = model.init(jax.random.key(0), x)
+        emb = model.apply(variables, x, train=False, method=BYOLNet.embed)
+
+        enc = Encoder(arch="resnet18", low_res=True, hidden_dim=256, proj_dim=32, dtype=jnp.float32)
+        enc_vars = {
+            "params": variables["params"]["encoder"],
+            "batch_stats": variables["batch_stats"]["encoder"],
+        }
+        emb2 = enc.apply(enc_vars, x, train=False, return_embedding=True)
+        np.testing.assert_allclose(np.asarray(emb), np.asarray(emb2), rtol=1e-5, atol=1e-5)

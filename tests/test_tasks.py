@@ -1,0 +1,184 @@
+"""Integration tests: BYOL + segmentation train steps, sharded execution on
+a virtual 8-device mesh, KNN/linear probes, SSL→segmentation handoff."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from medical_image_segmentation_tpu.core.checkpoint import load_byol_encoder_into_unet
+from medical_image_segmentation_tpu.eval import KNNEvaluator, LinearProbe, knn_predict
+from medical_image_segmentation_tpu.models import UNet
+from medical_image_segmentation_tpu.parallel import make_mesh, shard_batch
+from medical_image_segmentation_tpu.train import BYOLTask, SegmentationTask
+
+
+def _seg_task(**kw):
+    kw.setdefault("arch", "resnet18")
+    kw.setdefault("dtype", jnp.float32)
+    kw.setdefault("learning_rate", 0.5)
+    kw.setdefault("warmup_epochs", 0)
+    kw.setdefault("max_epochs", 100)
+    kw.setdefault("min_lr", 0.0)
+    return SegmentationTask(**kw)
+
+
+class TestSegmentationTask:
+    def test_overfits_tiny_batch(self):
+        task = _seg_task()
+        state = task.init(jax.random.key(0), (2, 32, 32, 1))
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32))
+        masks = jnp.asarray((rng.random((2, 32, 32, 1)) > 0.7).astype(np.float32))
+        losses = []
+        for _ in range(8):
+            state, metrics = task.train_step(state, images, masks)
+            losses.append(float(metrics["train/loss"]))
+        assert losses[-1] < losses[0]
+
+    def test_eval_and_predict(self):
+        task = _seg_task()
+        state = task.init(jax.random.key(0), (1, 32, 32, 1))
+        images = jnp.zeros((1, 32, 32, 1))
+        masks = jnp.zeros((1, 32, 32, 1))
+        m = task.eval_step(state, images, masks)
+        assert set(m) == {"loss", "dice", "iou"}
+        pred = task.predict_step(state, images)
+        assert pred.shape == (1, 32, 32, 1)
+        assert set(np.unique(np.asarray(pred))) <= {0.0, 1.0}
+
+
+class TestBYOLTask:
+    def _task(self):
+        return BYOLTask(
+            arch="resnet18", low_res=True, hidden_dim=128, proj_dim=32,
+            num_classes=4, total_steps=100, dtype=jnp.float32,
+            learning_rate=0.1, warmup_epochs=0, max_epochs=10,
+        )
+
+    def test_train_step_updates_and_ema(self):
+        task = self._task()
+        state = task.init(jax.random.key(0), (2, 32, 32, 3))
+        rng = np.random.default_rng(1)
+        v1 = jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32))
+        v2 = jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, 4, size=(4,)))
+
+        old_target = jax.tree.leaves(state.target_params)[0].copy()
+        old_online = jax.tree.leaves(state.params["encoder"])[0].copy()
+        state, metrics = task.train_step(state, v1, v2, labels)
+        assert np.isfinite(float(metrics["loss"]))
+        assert 0.0 <= float(metrics["loss"]) <= 4.0  # 2-2cos ∈ [0,4]
+        assert 0.99 <= float(metrics["momentum"]) <= 1.0
+        new_target = jax.tree.leaves(state.target_params)[0]
+        new_online = jax.tree.leaves(state.params["encoder"])[0]
+        # online moved; target moved a little (EMA), but not to the online value
+        assert not np.allclose(np.asarray(new_online), np.asarray(old_online))
+        assert not np.allclose(np.asarray(new_target), np.asarray(old_target))
+        assert not np.allclose(np.asarray(new_target), np.asarray(new_online))
+
+    def test_val_step_metrics(self):
+        task = self._task()
+        state = task.init(jax.random.key(0), (2, 32, 32, 3))
+        images = jnp.zeros((4, 32, 32, 3))
+        labels = jnp.zeros((4,), jnp.int32)
+        m = task.val_step(state, images, labels)
+        assert set(m) == {"val/loss", "val/acc@1", "val/acc@5"}
+        assert 0.0 <= float(m["val/acc@1"]) <= 1.0
+
+
+class TestShardedExecution:
+    def test_seg_train_step_on_8dev_mesh(self):
+        assert len(jax.devices()) == 8, "conftest should force 8 CPU devices"
+        mesh = make_mesh()
+        task = _seg_task()
+        state = task.init(jax.random.key(0), (8, 32, 32, 1))
+        state = jax.device_put(state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+        rng = np.random.default_rng(2)
+        batch = {
+            "images": rng.normal(size=(8, 32, 32, 1)).astype(np.float32),
+            "masks": (rng.random((8, 32, 32, 1)) > 0.5).astype(np.float32),
+        }
+        batch = shard_batch(mesh, batch)
+        state, metrics = task.train_step(state, batch["images"], batch["masks"])
+        assert np.isfinite(float(metrics["train/loss"]))
+
+    def test_sharded_bn_matches_single_device(self):
+        """Global BN stats under a sharded batch == unsharded run (sync-BN)."""
+        mesh = make_mesh()
+        task = _seg_task()
+        state = task.init(jax.random.key(0), (8, 32, 32, 1))
+        rng = np.random.default_rng(3)
+        images = rng.normal(size=(8, 32, 32, 1)).astype(np.float32)
+        masks = (rng.random((8, 32, 32, 1)) > 0.5).astype(np.float32)
+
+        s1, m1 = task.train_step(state, jnp.asarray(images), jnp.asarray(masks))
+        state2 = task.init(jax.random.key(0), (8, 32, 32, 1))
+        sharded = shard_batch(mesh, {"i": images, "m": masks})
+        s2, m2 = task.train_step(state2, sharded["i"], sharded["m"])
+        np.testing.assert_allclose(float(m1["train/loss"]), float(m2["train/loss"]), rtol=1e-4)
+        a = np.asarray(jax.tree.leaves(s1.batch_stats)[0])
+        b = np.asarray(jax.tree.leaves(s2.batch_stats)[0])
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
+
+
+class TestProbes:
+    def test_knn_predict_separable(self):
+        bank = jnp.asarray(np.eye(4, dtype=np.float32).repeat(8, axis=0))
+        labels = jnp.asarray(np.arange(4).repeat(8))
+        q = jnp.asarray(np.eye(4, dtype=np.float32))
+        scores = knn_predict(q, bank, labels, num_classes=4, k=8)
+        np.testing.assert_array_equal(np.argmax(np.asarray(scores), -1), np.arange(4))
+
+    def test_knn_evaluator_end_to_end(self):
+        rng = np.random.default_rng(4)
+        centers = np.eye(3, dtype=np.float32) * 5
+        make = lambda n: [
+            (centers[y] + rng.normal(scale=0.1, size=3).astype(np.float32), y)
+            for y in rng.integers(0, 3, size=n)
+        ]
+        train = make(60)
+        val = make(20)
+        tb = [(np.stack([f for f, _ in train]), np.array([y for _, y in train]))]
+        vb = [(np.stack([f for f, _ in val]), np.array([y for _, y in val]))]
+        ev = KNNEvaluator(num_classes=3, k=10)
+        acc = ev.evaluate(lambda x: x, tb, vb)
+        assert acc == 1.0
+
+    def test_linear_probe_learns(self):
+        probe = LinearProbe(feature_dim=8, num_classes=2, lr=0.05)
+        state = probe.init(jax.random.key(0))
+        rng = np.random.default_rng(5)
+        feats = rng.normal(size=(64, 8)).astype(np.float32)
+        labels = (feats[:, 0] > 0).astype(np.int32)
+        for _ in range(30):
+            state, m = probe.train_step(state, jnp.asarray(feats), jnp.asarray(labels))
+        ev = probe.eval_step(state, jnp.asarray(feats), jnp.asarray(labels))
+        assert float(ev["online_val_acc"]) > 0.9
+
+
+class TestHandoff:
+    def test_byol_encoder_into_unet(self):
+        task = BYOLTask(
+            arch="resnet18", in_channels=3, hidden_dim=64, proj_dim=16,
+            num_classes=2, dtype=jnp.float32,
+        )
+        byol_state = task.init(jax.random.key(0), (1, 64, 64, 3))
+        byol_vars = {
+            "params": byol_state.params,
+            "batch_stats": byol_state.batch_stats,
+        }
+        unet = UNet(arch="resnet18", in_channels=1, dtype=jnp.float32)
+        unet_vars = unet.init(jax.random.key(1), jnp.zeros((1, 64, 64, 1)))
+        unet_vars = dict(unet_vars)
+        new_vars = load_byol_encoder_into_unet(unet_vars, byol_vars)
+        # conv1 kernel was summed over RGB
+        src = np.asarray(byol_state.params["encoder"]["ResNet_0"]["conv1"]["kernel"]).sum(axis=2, keepdims=True)
+        got = np.asarray(new_vars["params"]["encoder"]["conv1"]["kernel"])
+        np.testing.assert_allclose(got, src, rtol=1e-6)
+        # a deep layer is copied verbatim
+        src2 = np.asarray(byol_state.params["encoder"]["ResNet_0"]["layer4_0"]["Conv_0"]["kernel"])
+        got2 = np.asarray(new_vars["params"]["encoder"]["layer4_0"]["Conv_0"]["kernel"])
+        np.testing.assert_array_equal(got2, src2)
+        # and the result still runs
+        logits = unet.apply(new_vars, jnp.zeros((1, 64, 64, 1)), train=False)
+        assert logits.shape == (1, 64, 64, 1)
