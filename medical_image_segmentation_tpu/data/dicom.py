@@ -1,0 +1,352 @@
+"""Minimal, fast DICOM reader (pure Python + NumPy — no pydicom).
+
+The reference consumes DICOM through `pydicom.dcmread(...).pixel_array`
+(`medical_image_segmentation/analyze_data/create_subset.py:197,506`;
+`create_ffcv_subset.py:44`) with GDCM/pylibjpeg plugins for compressed pixel
+data (`docker/Dockerfile:34-35`). This module provides the subset of that
+capability the ingest pipeline needs, implemented from the DICOM PS3.10/3.5
+encoding rules:
+
+- Part 10 file meta (128-byte preamble + "DICM" + group-0002 elements);
+- implicit VR little endian (1.2.840.10008.1.2) and explicit VR little
+  endian (1.2.840.10008.1.2.1) datasets, including undefined-length
+  sequences/items (skipped — we only materialize the elements we need);
+- header-only scanning (``stop_before_pixels=True`` — the fast path the
+  reference uses for its dimension scan, `create_subset.py:459-463`);
+- ``pixel_array`` for uncompressed pixel data: 8/16-bit, signed/unsigned,
+  single- or multi-frame, grayscale or RGB, with MONOCHROME1 left to the
+  caller (parity: pydicom also does not invert).
+
+Compressed transfer syntaxes (JPEG/J2K/RLE, 1.2.840.10008.1.2.4.*/.5)
+raise ``UnsupportedTransferSyntax`` — the offline preprocessing stage
+rejects those files with a per-file error status rather than crashing the
+scan (matching the reference's per-file fault tolerance,
+`create_subset.py:197-241`).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import BinaryIO, Dict, Optional, Tuple, Union
+
+import numpy as np
+
+IMPLICIT_VR_LE = "1.2.840.10008.1.2"
+EXPLICIT_VR_LE = "1.2.840.10008.1.2.1"
+EXPLICIT_VR_BE = "1.2.840.10008.1.2.2"
+DEFLATED_VR_LE = "1.2.840.10008.1.2.1.99"
+
+# VRs that use the 12-byte (2 reserved + 4-byte length) explicit header
+_LONG_VRS = {b"OB", b"OW", b"OF", b"OD", b"OL", b"OV", b"SQ", b"UC", b"UR", b"UT", b"UN"}
+
+# tags we materialize: (group, element) → name
+_KEEP = {
+    (0x0008, 0x0018): "sop_instance_uid",
+    (0x0008, 0x0060): "modality",
+    (0x0010, 0x0020): "patient_id",
+    (0x0020, 0x000D): "study_uid",
+    (0x0020, 0x000E): "series_uid",
+    (0x0028, 0x0002): "samples_per_pixel",
+    (0x0028, 0x0004): "photometric_interpretation",
+    (0x0028, 0x0008): "number_of_frames",
+    (0x0028, 0x0010): "rows",
+    (0x0028, 0x0011): "columns",
+    (0x0028, 0x0100): "bits_allocated",
+    (0x0028, 0x0101): "bits_stored",
+    (0x0028, 0x0103): "pixel_representation",
+    (0x0028, 0x1052): "rescale_intercept",
+    (0x0028, 0x1053): "rescale_slope",
+}
+_PIXEL_DATA = (0x7FE0, 0x0010)
+_US_TAGS = {"rows", "columns", "bits_allocated", "bits_stored", "pixel_representation", "samples_per_pixel"}
+
+
+class DicomError(ValueError):
+    pass
+
+
+class UnsupportedTransferSyntax(DicomError):
+    pass
+
+
+@dataclass
+class DicomFile:
+    transfer_syntax: str = EXPLICIT_VR_LE
+    elements: Dict[str, Union[int, float, str]] = field(default_factory=dict)
+    pixel_bytes: Optional[bytes] = None
+
+    @property
+    def rows(self) -> int:
+        return int(self.elements.get("rows", 0))
+
+    @property
+    def columns(self) -> int:
+        return int(self.elements.get("columns", 0))
+
+    @property
+    def pixel_array(self) -> np.ndarray:
+        """Decode uncompressed pixel data, pydicom-shaped:
+        (rows, cols), (frames, rows, cols), or (..., samples)."""
+        if self.pixel_bytes is None:
+            raise DicomError("no pixel data read (header-only parse?)")
+        bits = int(self.elements.get("bits_allocated", 16))
+        signed = int(self.elements.get("pixel_representation", 0)) == 1
+        samples = int(self.elements.get("samples_per_pixel", 1))
+        frames = int(self.elements.get("number_of_frames", 1) or 1)
+        rows, cols = self.rows, self.columns
+        if bits == 8:
+            dtype = np.int8 if signed else np.uint8
+        elif bits == 16:
+            dtype = np.int16 if signed else np.uint16
+        elif bits == 32:
+            dtype = np.int32 if signed else np.uint32
+        else:
+            raise DicomError(f"unsupported bits_allocated={bits}")
+        n = frames * rows * cols * samples
+        arr = np.frombuffer(self.pixel_bytes, dtype=dtype, count=n)
+        shape = [frames, rows, cols, samples]
+        arr = arr.reshape(shape)
+        if samples == 1:
+            arr = arr[..., 0]
+        if frames == 1:
+            arr = arr[0]
+        return arr
+
+
+def _read_exact(f: BinaryIO, n: int) -> bytes:
+    b = f.read(n)
+    if len(b) != n:
+        raise DicomError(f"truncated file (wanted {n} bytes, got {len(b)})")
+    return b
+
+
+def _parse_meta(f: BinaryIO) -> str:
+    """Parse the group-0002 file meta (always explicit VR LE); return the
+    dataset transfer syntax UID."""
+    head = f.read(132)
+    if len(head) == 132 and head[128:132] == b"DICM":
+        pass  # standard part-10 file
+    else:
+        # some files omit the preamble; rewind and try bare dataset
+        f.seek(0)
+        return ""
+    ts = ""
+    while True:
+        pos = f.tell()
+        hdr = f.read(8)
+        if len(hdr) < 8:
+            break
+        group, elem, vr = struct.unpack("<HH2s", hdr[:6])
+        if group != 0x0002:
+            f.seek(pos)
+            break
+        if vr in _LONG_VRS:
+            (length,) = struct.unpack("<I", _read_exact(f, 4))
+        else:
+            (length,) = struct.unpack("<H", hdr[6:8])
+        value = _read_exact(f, length)
+        if (group, elem) == (0x0002, 0x0010):
+            ts = value.decode("ascii").rstrip("\x00 ")
+    return ts
+
+
+def _skip_undefined_sequence(f: BinaryIO, explicit: bool) -> None:
+    """Skip an undefined-length SQ: walk items until the sequence
+    delimitation item (FFFE,E0DD)."""
+    while True:
+        group, elem = struct.unpack("<HH", _read_exact(f, 4))
+        (length,) = struct.unpack("<I", _read_exact(f, 4))
+        if (group, elem) == (0xFFFE, 0xE0DD):
+            return
+        if (group, elem) != (0xFFFE, 0xE000):
+            raise DicomError(f"malformed sequence item tag ({group:04x},{elem:04x})")
+        if length == 0xFFFFFFFF:
+            _skip_undefined_item(f, explicit)
+        else:
+            f.seek(length, 1)
+
+
+def _skip_undefined_item(f: BinaryIO, explicit: bool) -> None:
+    """Skip an undefined-length item: nested element walk until (FFFE,E00D)."""
+    while True:
+        group, elem = struct.unpack("<HH", _read_exact(f, 4))
+        if (group, elem) == (0xFFFE, 0xE00D):
+            f.seek(4, 1)  # zero length
+            return
+        vr, length = _read_element_header(f, explicit)
+        if length == 0xFFFFFFFF:
+            if vr == b"SQ" or not explicit:
+                _skip_undefined_sequence(f, explicit)
+            else:
+                raise DicomError("undefined length on non-SQ element in item")
+        else:
+            f.seek(length, 1)
+
+
+def _read_element_header(f: BinaryIO, explicit: bool) -> Tuple[bytes, int]:
+    """Read VR+length (tag already consumed)."""
+    if explicit:
+        vr = _read_exact(f, 2)
+        if vr in _LONG_VRS:
+            _read_exact(f, 2)  # reserved
+            (length,) = struct.unpack("<I", _read_exact(f, 4))
+        else:
+            (length,) = struct.unpack("<H", _read_exact(f, 2))
+        return vr, length
+    (length,) = struct.unpack("<I", _read_exact(f, 4))
+    return b"", length
+
+
+def _decode_value(name: str, vr: bytes, raw: bytes, explicit: bool):
+    if name in _US_TAGS:
+        # US (2-byte little-endian unsigned), same bytes under implicit VR
+        if len(raw) >= 2:
+            return struct.unpack("<H", raw[:2])[0]
+        return 0
+    text = raw.decode("latin-1").rstrip("\x00 ").strip()
+    if name in ("rescale_intercept", "rescale_slope"):
+        try:
+            return float(text)
+        except ValueError:
+            return 1.0 if name == "rescale_slope" else 0.0
+    if name == "number_of_frames":
+        try:
+            return int(text)
+        except ValueError:
+            return 1
+    return text
+
+
+def read_dicom(
+    path_or_file: Union[str, BinaryIO],
+    stop_before_pixels: bool = False,
+) -> DicomFile:
+    """Parse a DICOM file.
+
+    ``stop_before_pixels=True`` is the header-only fast path used by the
+    dimension/hash scans (reference `create_subset.py:459-463`)."""
+    if isinstance(path_or_file, str):
+        with open(path_or_file, "rb") as f:
+            return read_dicom(f, stop_before_pixels)
+    f = path_or_file
+    ts = _parse_meta(f)
+    if ts in ("", IMPLICIT_VR_LE):
+        explicit = ts == ""  # bare datasets here are written explicit by us; sniff below
+    elif ts == EXPLICIT_VR_LE:
+        explicit = True
+    elif ts in (EXPLICIT_VR_BE, DEFLATED_VR_LE):
+        raise UnsupportedTransferSyntax(ts)
+    elif ts.startswith("1.2.840.10008.1.2."):
+        raise UnsupportedTransferSyntax(ts)
+    else:
+        explicit = True  # unknown/private: try explicit LE
+
+    if ts == IMPLICIT_VR_LE:
+        explicit = False
+    elif ts == "":
+        # no meta: sniff — explicit files have an uppercase-ASCII VR at byte 4
+        pos = f.tell()
+        probe = f.read(6)
+        f.seek(pos)
+        explicit = len(probe) == 6 and probe[4:6].isalpha() and probe[4:6].isupper()
+
+    out = DicomFile(transfer_syntax=ts or (EXPLICIT_VR_LE if explicit else IMPLICIT_VR_LE))
+    while True:
+        hdr = f.read(4)
+        if len(hdr) < 4:
+            break
+        group, elem = struct.unpack("<HH", hdr)
+        vr, length = _read_element_header(f, explicit)
+        tag = (group, elem)
+
+        if tag == _PIXEL_DATA:
+            if stop_before_pixels:
+                break
+            if length == 0xFFFFFFFF:
+                raise UnsupportedTransferSyntax(
+                    "encapsulated (compressed) pixel data; transfer syntax "
+                    f"{out.transfer_syntax!r}"
+                )
+            out.pixel_bytes = _read_exact(f, length)
+            break
+
+        if length == 0xFFFFFFFF:
+            _skip_undefined_sequence(f, explicit)
+            continue
+
+        name = _KEEP.get(tag)
+        if name is not None:
+            raw = _read_exact(f, length)
+            out.elements[name] = _decode_value(name, vr, raw, explicit)
+        else:
+            f.seek(length, 1)
+    return out
+
+
+def get_dimensions(path: str) -> Tuple[int, int]:
+    """(rows, columns) via the header-only fast path."""
+    d = read_dicom(path, stop_before_pixels=True)
+    return d.rows, d.columns
+
+
+# ---------------------------------------------------------------------------
+# Writer (tests + synthetic-data tooling)
+# ---------------------------------------------------------------------------
+
+def _enc_element(group: int, elem: int, vr: bytes, value: bytes, explicit: bool) -> bytes:
+    if len(value) % 2:
+        value += b"\x00" if vr not in (b"US", b"OW", b"OB") else b"\x00"
+    if not explicit:
+        return struct.pack("<HHI", group, elem, len(value)) + value
+    if vr in _LONG_VRS:
+        return struct.pack("<HH2sHI", group, elem, vr, 0, len(value)) + value
+    return struct.pack("<HH2sH", group, elem, vr, len(value)) + value
+
+
+def write_dicom(
+    path: str,
+    pixels: np.ndarray,
+    explicit: bool = True,
+    extra_elements: Optional[Dict[Tuple[int, int], Tuple[bytes, bytes]]] = None,
+    sop_instance_uid: str = "1.2.3.4",
+    transfer_syntax: Optional[str] = None,
+) -> None:
+    """Write an uncompressed little-endian part-10 DICOM file.
+
+    ``pixels``: (rows, cols) or (frames, rows, cols) of uint8/uint16/int16.
+    ``extra_elements``: {(group, elem): (vr, raw_bytes)} appended in order.
+    """
+    pixels = np.asarray(pixels)
+    frames = 1
+    if pixels.ndim == 3:
+        frames, rows, cols = pixels.shape
+    else:
+        rows, cols = pixels.shape
+    bits = pixels.dtype.itemsize * 8
+    signed = 1 if pixels.dtype in (np.dtype(np.int8), np.dtype(np.int16)) else 0
+
+    ts = transfer_syntax or (EXPLICIT_VR_LE if explicit else IMPLICIT_VR_LE)
+    meta_body = b""
+    meta_body += _enc_element(0x0002, 0x0010, b"UI", ts.encode() + (b"\x00" if len(ts) % 2 else b""), True)
+    # (0002,0000) group length
+    meta = _enc_element(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body)), True) + meta_body
+
+    body = b""
+    body += _enc_element(0x0008, 0x0018, b"UI", sop_instance_uid.encode(), explicit)
+    if frames > 1:
+        body += _enc_element(0x0028, 0x0008, b"IS", str(frames).encode(), explicit)
+    body += _enc_element(0x0028, 0x0002, b"US", struct.pack("<H", 1), explicit)
+    body += _enc_element(0x0028, 0x0004, b"CS", b"MONOCHROME2", explicit)
+    body += _enc_element(0x0028, 0x0010, b"US", struct.pack("<H", rows), explicit)
+    body += _enc_element(0x0028, 0x0011, b"US", struct.pack("<H", cols), explicit)
+    body += _enc_element(0x0028, 0x0100, b"US", struct.pack("<H", bits), explicit)
+    body += _enc_element(0x0028, 0x0101, b"US", struct.pack("<H", bits), explicit)
+    body += _enc_element(0x0028, 0x0103, b"US", struct.pack("<H", signed), explicit)
+    for (g, e), (vr, raw) in (extra_elements or {}).items():
+        body += _enc_element(g, e, vr, raw, explicit)
+    pix_vr = b"OB" if bits == 8 else b"OW"
+    body += _enc_element(0x7FE0, 0x0010, pix_vr, pixels.tobytes(), explicit)
+
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta + body)
