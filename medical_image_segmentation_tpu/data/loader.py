@@ -1,0 +1,216 @@
+"""High-throughput batch loader over MIS stores — the `ffcv.loader.Loader`
+replacement (reference usage: `train/data_loaders/lightning_module.py:124-177`).
+
+Pipeline per batch:
+  sampler (sequential / random / quasi-random, per-host shard)
+    → C++ decode workers (mmap + libjpeg-turbo/libpng → fixed uint8 buffer)
+    → background prefetch thread (decodes batch t+1 while t trains)
+    → jax.device_put onto the mesh (batch-dim sharded) — double-buffered.
+
+Augmentation is NOT here: raw uint8 batches go to the device and the
+Pallas/MXU pipeline (ops/augment.py) crops/flips/normalizes on-chip, so the
+host's per-image work is exactly one decode + one DMA.
+
+Ordering modes mirror FFCV's (`lightning_module.py:141-151`):
+- SEQUENTIAL: validation order;
+- RANDOM: full shuffle per epoch;
+- QUASI_RANDOM: shuffle pages, then shuffle within a sliding window —
+  approximates RANDOM while keeping mmap reads page-local (the mode the
+  reference uses for distributed training).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+SEQUENTIAL = "sequential"
+RANDOM = "random"
+QUASI_RANDOM = "quasi_random"
+
+
+def make_order(
+    n: int,
+    mode: str,
+    seed: int,
+    epoch: int,
+    page_size: int = 128,
+    window_pages: int = 8,
+) -> np.ndarray:
+    rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
+    if mode == SEQUENTIAL:
+        return np.arange(n, dtype=np.int64)
+    if mode == RANDOM:
+        return rng.permutation(n).astype(np.int64)
+    if mode == QUASI_RANDOM:
+        # shuffle page order, then shuffle inside windows of consecutive pages
+        n_pages = -(-n // page_size)
+        pages = rng.permutation(n_pages)
+        order = np.concatenate(
+            [np.arange(p * page_size, min((p + 1) * page_size, n)) for p in pages]
+        )
+        w = page_size * window_pages
+        for s in range(0, len(order), w):
+            rng.shuffle(order[s : s + w])
+        return order.astype(np.int64)
+    raise ValueError(f"unknown order mode {mode!r}")
+
+
+class Loader:
+    """Iterable over (images uint8 (B,H,W,C), labels int32 (B,)) host batches.
+
+    ``shard=(shard_id, num_shards)`` partitions samples across hosts (the
+    per-host split that replaces FFCV's rank-aware ordering)."""
+
+    def __init__(
+        self,
+        store_path: str,
+        batch_size: int,
+        order: str = SEQUENTIAL,
+        num_threads: int = 4,
+        seed: int = 0,
+        drop_last: bool = True,
+        shard: Tuple[int, int] = (0, 1),
+        out_hw: Optional[Tuple[int, int]] = None,
+        prefetch: int = 2,
+        use_native: bool = True,
+    ):
+        self.store_path = store_path
+        self.batch_size = batch_size
+        self.order_mode = order
+        self.num_threads = num_threads
+        self.seed = seed
+        self.drop_last = drop_last
+        self.shard = shard
+        self.prefetch = prefetch
+        self.epoch = 0
+
+        self._native = None
+        self._reader = None
+        if use_native:
+            try:
+                from medical_image_segmentation_tpu.data.store.native import NativeStore
+
+                self._native = NativeStore(store_path)
+            except Exception:
+                self._native = None
+        if self._native is None:
+            from medical_image_segmentation_tpu.data.store.reader import StoreReader
+
+            self._reader = StoreReader(store_path)
+        shape = self._native.shape if self._native else (
+            self._reader.header.height, self._reader.header.width, self._reader.header.channels
+        )
+        self.out_hw = out_hw or shape[:2]
+        self.channels = shape[2]
+        self._n_total = self._native.num_samples if self._native else len(self._reader)
+
+    @property
+    def num_samples(self) -> int:
+        """Samples in this host's shard."""
+        shard_id, num_shards = self.shard
+        return len(range(shard_id, self._n_total, num_shards))
+
+    def __len__(self) -> int:
+        n = self.num_samples
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _shard_indices(self) -> np.ndarray:
+        shard_id, num_shards = self.shard
+        return np.arange(shard_id, self._n_total, num_shards, dtype=np.int64)
+
+    def _fetch(self, idxs: np.ndarray):
+        if self._native is not None:
+            return self._native.fetch(idxs, out_hw=self.out_hw, num_threads=self.num_threads)
+        oh, ow = self.out_hw
+        imgs = np.empty((len(idxs), oh, ow, self.channels), np.uint8)
+        labels = np.empty((len(idxs),), np.int32)
+        for j, i in enumerate(idxs):
+            img, lab = self._reader[int(i)]
+            if img.shape[:2] != (oh, ow):
+                ys = (np.arange(oh) * img.shape[0] // oh)
+                xs = (np.arange(ow) * img.shape[1] // ow)
+                img = img[ys][:, xs]
+            imgs[j] = img
+            labels[j] = lab
+        return imgs, labels
+
+    def _batches(self) -> Iterator[np.ndarray]:
+        mine = self._shard_indices()
+        order = make_order(len(mine), self.order_mode, self.seed, self.epoch)
+        mine = mine[order]
+        end = len(mine) - (len(mine) % self.batch_size) if self.drop_last else len(mine)
+        for s in range(0, end, self.batch_size):
+            yield mine[s : s + self.batch_size]
+        self.epoch += 1
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            for idxs in self._batches():
+                yield self._fetch(idxs)
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for idxs in self._batches():
+                    if stop.is_set():
+                        return
+                    q.put(self._fetch(idxs))
+            except BaseException as e:  # surface worker errors to the consumer
+                q.put(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+    def close(self):
+        if self._native is not None:
+            self._native.close()
+        if self._reader is not None:
+            self._reader.close()
+
+
+def device_put_sharded_batches(loader, mesh=None, axis: str = "data"):
+    """Wrap a host loader into an iterator of device arrays, double-buffered:
+    batch t+1 is transferred while batch t computes (the ToDevice
+    (non_blocking) analogue of the reference pipeline,
+    `lightning_module.py:92-95`)."""
+    import jax
+
+    from medical_image_segmentation_tpu.parallel.mesh import data_sharding
+
+    def put(batch):
+        imgs, labels = batch
+        if mesh is None:
+            return jax.device_put(imgs), jax.device_put(labels)
+        return (
+            jax.device_put(imgs, data_sharding(mesh, imgs.ndim, axis)),
+            jax.device_put(labels, data_sharding(mesh, labels.ndim, axis)),
+        )
+
+    it = iter(loader)
+    try:
+        pending = put(next(it))
+    except StopIteration:
+        return
+    for batch in it:
+        nxt = put(batch)  # enqueue H2D for t+1
+        yield pending
+        pending = nxt
+    yield pending

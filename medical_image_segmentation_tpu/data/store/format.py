@@ -1,0 +1,99 @@
+"""MIS store — a memory-mapped sample-record format (the `.beton` replacement).
+
+The reference stores its curated dataset as FFCV `.beton` files written by
+`ffcv.writer.DatasetWriter` (`medical_image_segmentation/analyze_data/
+create_ffcv_subset.py:100-108`) and memory-maps them at train time with
+`os_cache=True` (`train/data_loaders/lightning_module.py:141-151`). The MIS
+store provides the same capability with a layout designed for the TPU-host
+loader:
+
+    [ header | index table | data region ]
+
+- header (64 B): magic/version, sample count, nominal (max) image shape,
+  label dtype flag.
+- index table: one fixed 32-byte record per sample — data offset/length,
+  per-sample (h, w, c), codec (raw/JPEG/PNG), int32 label. Fixed-size
+  records make random access O(1) and let the C++ loader prefetch pages.
+- data region: sample payloads, 64-byte aligned (DMA-friendly copies).
+
+Like FFCV, images may be stored raw (uint8, zero-decode) or JPEG/PNG
+compressed (smaller, decode on load) — per sample, so a writer can compress
+large images and keep small ones raw (FFCV's RGBImageField behavior).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+MAGIC = b"MISTORE1"
+VERSION = 1
+HEADER_SIZE = 64
+RECORD_SIZE = 32
+ALIGN = 64
+
+CODEC_RAW = 0
+CODEC_JPEG = 1
+CODEC_PNG = 2
+
+LABEL_NONE = 0
+LABEL_INT32 = 1
+
+_HEADER_FMT = "<8sIIQHHBBBB"  # magic, version, flags, n, h, w, c, codec, label_dtype, pad
+_RECORD_FMT = "<QQHHBBhi4x"   # offset, length, h, w, c, codec, pad, label, 4 reserved
+
+
+@dataclass
+class StoreHeader:
+    num_samples: int
+    height: int          # nominal/max height (loader output buffer size)
+    width: int
+    channels: int
+    default_codec: int = CODEC_RAW
+    label_dtype: int = LABEL_NONE
+
+    def pack(self) -> bytes:
+        body = struct.pack(
+            _HEADER_FMT,
+            MAGIC, VERSION, 0, self.num_samples,
+            self.height, self.width, self.channels,
+            self.default_codec, self.label_dtype, 0,
+        )
+        return body + b"\x00" * (HEADER_SIZE - len(body))
+
+    @classmethod
+    def unpack(cls, raw: bytes) -> "StoreHeader":
+        magic, version, _flags, n, h, w, c, codec, label_dtype, _ = struct.unpack(
+            _HEADER_FMT, raw[: struct.calcsize(_HEADER_FMT)]
+        )
+        if magic != MAGIC:
+            raise ValueError(f"not a MIS store (magic={magic!r})")
+        if version != VERSION:
+            raise ValueError(f"unsupported store version {version}")
+        return cls(num_samples=n, height=h, width=w, channels=c,
+                   default_codec=codec, label_dtype=label_dtype)
+
+
+@dataclass
+class SampleRecord:
+    offset: int
+    length: int
+    height: int
+    width: int
+    channels: int
+    codec: int
+    label: int = 0
+
+    def pack(self) -> bytes:
+        return struct.pack(
+            _RECORD_FMT, self.offset, self.length,
+            self.height, self.width, self.channels, self.codec, 0, self.label,
+        )
+
+    @classmethod
+    def unpack(cls, raw: bytes) -> "SampleRecord":
+        off, ln, h, w, c, codec, _pad, label = struct.unpack(_RECORD_FMT, raw[:RECORD_SIZE])
+        return cls(offset=off, length=ln, height=h, width=w, channels=c, codec=codec, label=label)
+
+
+assert struct.calcsize(_RECORD_FMT) == RECORD_SIZE

@@ -1,0 +1,139 @@
+"""ctypes binding + on-demand build of the C++ MIS loader.
+
+The shared object is compiled once per machine from ``csrc/mis_loader.cpp``
+(g++, links libjpeg-turbo/libpng/zlib) into a cache directory; callers fall
+back to the pure-Python ``StoreReader`` when no toolchain is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import sys
+import threading
+from typing import Optional
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_BUILD_FAILED = False
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+_SRC = os.path.join(_REPO_ROOT, "csrc", "mis_loader.cpp")
+
+
+def _cache_dir() -> str:
+    d = os.environ.get("MIS_NATIVE_CACHE", os.path.join(_REPO_ROOT, "build", "native"))
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _build() -> Optional[str]:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    out = os.path.join(_cache_dir(), f"libmisloader-{digest}.so")
+    if os.path.exists(out):
+        return out
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        _SRC, "-ljpeg", "-lpng", "-lz", "-pthread", "-o", out + ".tmp",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+    except (subprocess.SubprocessError, FileNotFoundError) as e:
+        stderr = getattr(e, "stderr", b"") or b""
+        print(f"mis_loader native build failed: {e}\n{stderr.decode()[:2000]}", file=sys.stderr)
+        return None
+    os.replace(out + ".tmp", out)
+    return out
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Build (once) and load the native loader; None if unavailable."""
+    global _LIB, _BUILD_FAILED
+    with _LOCK:
+        if _LIB is not None or _BUILD_FAILED:
+            return _LIB
+        so = _build()
+        if so is None:
+            _BUILD_FAILED = True
+            return None
+        lib = ctypes.CDLL(so)
+        lib.mis_open.restype = ctypes.c_void_p
+        lib.mis_open.argtypes = [ctypes.c_char_p]
+        lib.mis_close.argtypes = [ctypes.c_void_p]
+        lib.mis_num_samples.restype = ctypes.c_int64
+        lib.mis_num_samples.argtypes = [ctypes.c_void_p]
+        lib.mis_shape.argtypes = [ctypes.c_void_p] + [ctypes.POINTER(ctypes.c_int)] * 3
+        lib.mis_fetch.restype = ctypes.c_int
+        lib.mis_fetch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ]
+        _LIB = lib
+        return _LIB
+
+
+class NativeStore:
+    """Thin RAII wrapper over the C++ store handle."""
+
+    def __init__(self, path: str):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native loader unavailable")
+        self._lib = lib
+        self._handle = lib.mis_open(path.encode())
+        if not self._handle:
+            raise IOError(f"mis_open failed for {path}")
+        h = ctypes.c_int()
+        w = ctypes.c_int()
+        c = ctypes.c_int()
+        lib.mis_shape(self._handle, ctypes.byref(h), ctypes.byref(w), ctypes.byref(c))
+        self.shape = (h.value, w.value, c.value)
+        self.num_samples = int(lib.mis_num_samples(self._handle))
+
+    def fetch(
+        self,
+        indices: np.ndarray,
+        out: Optional[np.ndarray] = None,
+        labels: Optional[np.ndarray] = None,
+        out_hw: Optional[tuple] = None,
+        num_threads: int = 4,
+    ):
+        """Decode ``indices`` into (B, H, W, C) uint8 + (B,) int32 labels."""
+        indices = np.ascontiguousarray(indices, np.int64)
+        n = len(indices)
+        oh, ow = out_hw or self.shape[:2]
+        oc = self.shape[2]
+        if out is None:
+            out = np.empty((n, oh, ow, oc), np.uint8)
+        if labels is None:
+            labels = np.empty((n,), np.int32)
+        rc = self._lib.mis_fetch(
+            self._handle,
+            indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            oh, ow, oc,
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            num_threads,
+        )
+        if rc != 0:
+            raise IOError(f"mis_fetch error {rc}")
+        return out, labels
+
+    def close(self):
+        if self._handle:
+            self._lib.mis_close(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

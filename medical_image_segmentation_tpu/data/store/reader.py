@@ -1,0 +1,73 @@
+"""MIS store reader — memory-mapped random access (pure Python path).
+
+This is the fallback/reference implementation; the hot path is the C++
+loader (`csrc/mis_loader.cpp`) which shares the same on-disk format. The
+mmap + page-cache behavior is the analogue of FFCV's ``os_cache=True``
+(`lightning_module.py:141-151`).
+"""
+
+from __future__ import annotations
+
+import mmap
+from typing import Optional, Tuple
+
+import numpy as np
+
+from medical_image_segmentation_tpu.data.store.format import (
+    CODEC_JPEG,
+    CODEC_PNG,
+    CODEC_RAW,
+    HEADER_SIZE,
+    RECORD_SIZE,
+    SampleRecord,
+    StoreHeader,
+)
+
+
+class StoreReader:
+    def __init__(self, path: str):
+        self.path = path
+        self._f = open(path, "rb")
+        self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
+        self.header = StoreHeader.unpack(self._mm[:HEADER_SIZE])
+        n = self.header.num_samples
+        # vectorized index table view
+        raw = np.frombuffer(self._mm, np.uint8, n * RECORD_SIZE, HEADER_SIZE)
+        self._table = raw.reshape(n, RECORD_SIZE)
+
+    def __len__(self) -> int:
+        return self.header.num_samples
+
+    def record(self, i: int) -> SampleRecord:
+        return SampleRecord.unpack(self._table[i].tobytes())
+
+    @property
+    def labels(self) -> np.ndarray:
+        """All labels as one int32 vector (for KNN banks / stratified splits)."""
+        return self._table[:, 24:28].copy().view("<i4").reshape(-1)
+
+    def payload(self, i: int) -> bytes:
+        r = self.record(i)
+        return self._mm[r.offset : r.offset + r.length]
+
+    def image(self, i: int) -> np.ndarray:
+        r = self.record(i)
+        buf = np.frombuffer(self._mm, np.uint8, r.length, r.offset)
+        if r.codec == CODEC_RAW:
+            img = buf.reshape(r.height, r.width, r.channels)
+            return img
+        import cv2
+
+        img = cv2.imdecode(buf, cv2.IMREAD_UNCHANGED)
+        if img is None:
+            raise ValueError(f"decode failed for sample {i}")
+        if img.ndim == 2:
+            img = img[..., None]
+        return img
+
+    def __getitem__(self, i: int) -> Tuple[np.ndarray, int]:
+        return self.image(i), self.record(i).label
+
+    def close(self) -> None:
+        self._mm.close()
+        self._f.close()

@@ -1,0 +1,197 @@
+"""MIS store + loader tests: roundtrip, codec parity, C++/Python parity,
+ordering semantics, sharding, prefetch."""
+
+import numpy as np
+import pytest
+
+from medical_image_segmentation_tpu.data.loader import (
+    QUASI_RANDOM,
+    RANDOM,
+    SEQUENTIAL,
+    Loader,
+    make_order,
+)
+from medical_image_segmentation_tpu.data.store import (
+    CODEC_JPEG,
+    CODEC_PNG,
+    CODEC_RAW,
+    StoreReader,
+    StoreWriter,
+    write_store_from_dataset,
+)
+
+
+def _write_store(path, n=32, h=24, w=20, c=1, codec=CODEC_RAW, labeled=True):
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, size=(n, h, w, c)).astype(np.uint8)
+    with StoreWriter(str(path), channels=c, with_labels=labeled) as wtr:
+        for i in range(n):
+            wtr.add(imgs[i], label=i % 7, codec=codec)
+    return imgs
+
+
+class TestStoreRoundtrip:
+    @pytest.mark.parametrize("c", [1, 3])
+    def test_raw_roundtrip(self, tmp_path, c):
+        p = tmp_path / "s.mis"
+        imgs = _write_store(p, c=c)
+        r = StoreReader(str(p))
+        assert len(r) == 32
+        for i in [0, 7, 31]:
+            img, label = r[i]
+            np.testing.assert_array_equal(img, imgs[i])
+            assert label == i % 7
+
+    def test_png_lossless_roundtrip(self, tmp_path):
+        p = tmp_path / "s.mis"
+        imgs = _write_store(p, codec=CODEC_PNG)
+        r = StoreReader(str(p))
+        np.testing.assert_array_equal(r[5][0], imgs[5])
+
+    def test_jpeg_lossy_close(self, tmp_path):
+        p = tmp_path / "s.mis"
+        rng = np.random.default_rng(1)
+        # smooth image so JPEG error is small
+        base = rng.integers(80, 120, size=(1, 1, 1)).astype(np.uint8)
+        img = np.tile(base, (32, 32, 1))
+        with StoreWriter(str(p), channels=1) as w:
+            w.add(img, codec=CODEC_JPEG, quality=95)
+        r = StoreReader(str(p))
+        got = r[0][0]
+        assert got.shape == (32, 32, 1)
+        assert np.abs(got.astype(int) - img.astype(int)).max() <= 3
+
+    def test_labels_vector(self, tmp_path):
+        p = tmp_path / "s.mis"
+        _write_store(p, n=10)
+        r = StoreReader(str(p))
+        np.testing.assert_array_equal(r.labels, np.arange(10) % 7)
+
+    def test_write_from_dataset(self, tmp_path):
+        rng = np.random.default_rng(2)
+        data = [(rng.integers(0, 255, size=(16, 16, 3)).astype(np.uint8), i) for i in range(5)]
+
+        class DS:
+            def __len__(self):
+                return len(data)
+
+            def __getitem__(self, i):
+                return data[i]
+
+        p = str(tmp_path / "ds.mis")
+        n = write_store_from_dataset(p, DS(), channels=3)
+        assert n == 5
+        r = StoreReader(p)
+        np.testing.assert_array_equal(r[3][0], data[3][0])
+
+    def test_max_resolution_downscales(self, tmp_path):
+        class DS:
+            def __len__(self):
+                return 1
+
+            def __getitem__(self, i):
+                return np.zeros((100, 50, 1), np.uint8)
+
+        p = str(tmp_path / "r.mis")
+        write_store_from_dataset(p, DS(), channels=1, max_resolution=64)
+        r = StoreReader(p)
+        assert r[0][0].shape == (64, 32, 1)
+
+
+class TestNativeLoader:
+    def test_native_matches_python_reader(self, tmp_path):
+        from medical_image_segmentation_tpu.data.store.native import NativeStore, get_lib
+
+        if get_lib() is None:
+            pytest.skip("no native toolchain")
+        p = tmp_path / "s.mis"
+        imgs = _write_store(p, n=16, codec=CODEC_RAW)
+        ns = NativeStore(str(p))
+        assert ns.num_samples == 16
+        idxs = np.array([3, 0, 15, 7], np.int64)
+        out, labels = ns.fetch(idxs, num_threads=2)
+        for j, i in enumerate(idxs):
+            np.testing.assert_array_equal(out[j], imgs[i])
+            assert labels[j] == i % 7
+
+    def test_native_png_decode_parity(self, tmp_path):
+        from medical_image_segmentation_tpu.data.store.native import NativeStore, get_lib
+
+        if get_lib() is None:
+            pytest.skip("no native toolchain")
+        p = tmp_path / "s.mis"
+        imgs = _write_store(p, n=8, codec=CODEC_PNG)
+        ns = NativeStore(str(p))
+        out, _ = ns.fetch(np.arange(8, dtype=np.int64))
+        np.testing.assert_array_equal(out, imgs)
+
+    def test_native_jpeg_decode(self, tmp_path):
+        from medical_image_segmentation_tpu.data.store.native import NativeStore, get_lib
+
+        if get_lib() is None:
+            pytest.skip("no native toolchain")
+        p = tmp_path / "s.mis"
+        img = np.tile(np.uint8(100), (32, 32, 1))
+        with StoreWriter(str(p), channels=1) as w:
+            w.add(img, codec=CODEC_JPEG, quality=95)
+        ns = NativeStore(str(p))
+        out, _ = ns.fetch(np.array([0], np.int64))
+        assert np.abs(out[0].astype(int) - 100).max() <= 3
+
+
+class TestOrdering:
+    def test_sequential(self):
+        np.testing.assert_array_equal(make_order(10, SEQUENTIAL, 0, 0), np.arange(10))
+
+    def test_random_is_permutation_and_epoch_varies(self):
+        o1 = make_order(100, RANDOM, 0, 0)
+        o2 = make_order(100, RANDOM, 0, 1)
+        assert sorted(o1) == list(range(100))
+        assert not np.array_equal(o1, o2)
+
+    def test_quasi_random_is_permutation(self):
+        o = make_order(1000, QUASI_RANDOM, 3, 0)
+        assert sorted(o) == list(range(1000))
+        assert not np.array_equal(o, np.arange(1000))
+
+
+class TestLoader:
+    def test_batches_cover_shard(self, tmp_path):
+        p = tmp_path / "s.mis"
+        _write_store(p, n=32)
+        loader = Loader(str(p), batch_size=8, order=RANDOM, use_native=False)
+        seen = []
+        for imgs, labels in loader:
+            assert imgs.shape == (8, 24, 20, 1)
+            seen.append(labels)
+        assert len(seen) == 4
+
+    def test_sharding_partitions(self, tmp_path):
+        p = tmp_path / "s.mis"
+        _write_store(p, n=32)
+        l0 = Loader(str(p), batch_size=4, order=SEQUENTIAL, shard=(0, 2), use_native=False, prefetch=0)
+        l1 = Loader(str(p), batch_size=4, order=SEQUENTIAL, shard=(1, 2), use_native=False, prefetch=0)
+        assert l0.num_samples == 16 and l1.num_samples == 16
+        lab0 = np.concatenate([l for _, l in l0])
+        lab1 = np.concatenate([l for _, l in l1])
+        all_labels = np.arange(32) % 7
+        np.testing.assert_array_equal(np.sort(np.concatenate([lab0, lab1])), np.sort(all_labels))
+
+    def test_native_loader_end_to_end(self, tmp_path):
+        from medical_image_segmentation_tpu.data.store.native import get_lib
+
+        if get_lib() is None:
+            pytest.skip("no native toolchain")
+        p = tmp_path / "s.mis"
+        imgs = _write_store(p, n=16)
+        loader = Loader(str(p), batch_size=16, order=SEQUENTIAL, use_native=True)
+        out, labels = next(iter(loader))
+        np.testing.assert_array_equal(out, imgs)
+
+    def test_producer_errors_propagate(self, tmp_path):
+        p = tmp_path / "s.mis"
+        _write_store(p, n=8)
+        loader = Loader(str(p), batch_size=4, use_native=False)
+        loader._fetch = lambda idxs: (_ for _ in ()).throw(RuntimeError("decode boom"))
+        with pytest.raises(RuntimeError, match="decode boom"):
+            list(loader)
