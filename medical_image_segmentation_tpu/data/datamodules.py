@@ -1,0 +1,203 @@
+"""Dataset registry — named datamodules with loaders and normalization stats.
+
+Parity with the reference registry
+(`medical_image_segmentation/train/data_loaders/lightning_module.py:21-36`,
+registered modules :193-809). Each datamodule carries:
+
+- the MIS store paths (train/val) or PNG dirs (Decathlon),
+- the normalization constants (bit-parity targets, BASELINE.md),
+- crop size, channel count, class count,
+- per-view augmentation configs for SSL.
+
+Deviation from the reference (documented): radiology/medical datasets stay
+**1-channel** end-to-end (the reference stacks gray→RGB only because
+torchvision backbones demand 3 channels, `pytorch_datasets.py:140-144`;
+our ResNet takes ``in_channels=1``, saving 3× input bandwidth). CIFAR /
+ImageNet modules are RGB as usual.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+from medical_image_segmentation_tpu.core.registry import Registry
+from medical_image_segmentation_tpu.data.loader import QUASI_RANDOM, RANDOM, SEQUENTIAL, Loader
+from medical_image_segmentation_tpu.ops.augment import BYOL_VIEW1, BYOL_VIEW2, ViewConfig
+
+DATAMODULES: Registry = Registry("datamodule")
+
+
+def register_datamodule(name: str):
+    return DATAMODULES.register(name)
+
+
+def get_datamodule(name: str):
+    return DATAMODULES.get(name)
+
+
+@dataclasses.dataclass
+class SSLDataModule:
+    """Two-view SSL datamodule backed by MIS stores."""
+
+    NUM_CLASSES: int = 10
+    channels: int = 1
+    crop_size: int = 112
+    low_res: bool = False
+    # normalization stats on the 0-255 scale (reference stores FFCV
+    # NormalizeImage(mean*255, std*255), lightning_module.py:89-91)
+    train_mean: Tuple[float, ...] = (57.9764,)
+    train_std: Tuple[float, ...] = (60.4759,)
+    val_mean: Tuple[float, ...] = (126.57,)   # lightning_module.py:239
+    val_std: Tuple[float, ...] = (63.46,)     # lightning_module.py:240
+    train_store: Optional[str] = None
+    val_store: Optional[str] = None
+
+    def view_configs(self) -> Tuple[ViewConfig, ViewConfig]:
+        size = (self.crop_size, self.crop_size)
+        return (
+            dataclasses.replace(BYOL_VIEW1, out_size=size),
+            dataclasses.replace(BYOL_VIEW2, out_size=size),
+        )
+
+    def train_loader(self, batch_size: int, num_threads: int = 8, seed: int = 0,
+                     shard: Tuple[int, int] = (0, 1), distributed: bool = False) -> Loader:
+        if not self.train_store or not os.path.exists(self.train_store):
+            raise FileNotFoundError(f"train store not found: {self.train_store!r}")
+        # QUASI_RANDOM when distributed else RANDOM (lightning_module.py:141-151)
+        order = QUASI_RANDOM if distributed else RANDOM
+        return Loader(self.train_store, batch_size, order=order,
+                      num_threads=num_threads, seed=seed, shard=shard, drop_last=True)
+
+    def val_loader(self, batch_size: int, num_threads: int = 8,
+                   shard: Tuple[int, int] = (0, 1)) -> Loader:
+        if not self.val_store or not os.path.exists(self.val_store):
+            raise FileNotFoundError(f"val store not found: {self.val_store!r}")
+        return Loader(self.val_store, batch_size, order=SEQUENTIAL,
+                      num_threads=num_threads, shard=shard, drop_last=False)
+
+
+def _env(name: str, default: str) -> str:
+    """Store locations come from env (the reference hard-codes GPFS paths,
+    `lightning_module.py:199-200`; env-vars are the portable equivalent)."""
+    return os.environ.get(name, default)
+
+
+@register_datamodule("RADIOLOGY_1M")
+class Radiology1MDataModule(SSLDataModule):
+    """Curated 1M TCIA subset (reference RADIOLOGY_1M_FFCV,
+    `lightning_module.py:193-272`: crop 112², train μ=57.9764 σ=60.4759,
+    val = NIH chest-x-ray test beton μ=126.5758 σ=63.4649, 10 classes)."""
+
+    def __init__(self, **kw):
+        kw.setdefault("train_store", _env("RADIOLOGY_1M_TRAIN_STORE", "data/stores/radiology_1M_train.mis"))
+        kw.setdefault("val_store", _env("RADIOLOGY_1M_VAL_STORE", "data/stores/nih_chest_xray_test.mis"))
+        super().__init__(**kw)
+
+
+@register_datamodule("CIFAR10")
+class Cifar10DataModule(SSLDataModule):
+    """CIFAR-10 (reference CIFAR10_FFCV, `lightning_module.py:305-332`)."""
+
+    def __init__(self, **kw):
+        kw.setdefault("NUM_CLASSES", 10)
+        kw.setdefault("channels", 3)
+        kw.setdefault("crop_size", 32)
+        kw.setdefault("low_res", True)
+        kw.setdefault("train_mean", (0.491 * 255, 0.482 * 255, 0.447 * 255))  # MEAN, :308
+        kw.setdefault("train_std", (0.247 * 255, 0.243 * 255, 0.261 * 255))   # STD, :309
+        kw.setdefault("val_mean", (0.491 * 255, 0.482 * 255, 0.447 * 255))
+        kw.setdefault("val_std", (0.247 * 255, 0.243 * 255, 0.261 * 255))
+        kw.setdefault("train_store", _env("CIFAR10_TRAIN_STORE", "data/stores/cifar10_train.mis"))
+        kw.setdefault("val_store", _env("CIFAR10_VAL_STORE", "data/stores/cifar10_test.mis"))
+        super().__init__(**kw)
+
+
+@register_datamodule("CIFAR100")
+class Cifar100DataModule(SSLDataModule):
+    """CIFAR-100 (reference CIFAR100_FFCV, `lightning_module.py:275-302`)."""
+
+    def __init__(self, **kw):
+        kw.setdefault("NUM_CLASSES", 100)
+        kw.setdefault("channels", 3)
+        kw.setdefault("crop_size", 32)
+        kw.setdefault("low_res", True)
+        kw.setdefault("train_mean", (0.507 * 255, 0.487 * 255, 0.441 * 255))  # MEAN, :278
+        kw.setdefault("train_std", (0.268 * 255, 0.257 * 255, 0.276 * 255))   # STD, :279
+        kw.setdefault("val_mean", (0.507 * 255, 0.487 * 255, 0.441 * 255))
+        kw.setdefault("val_std", (0.268 * 255, 0.257 * 255, 0.276 * 255))
+        kw.setdefault("train_store", _env("CIFAR100_TRAIN_STORE", "data/stores/cifar100_train.mis"))
+        kw.setdefault("val_store", _env("CIFAR100_VAL_STORE", "data/stores/cifar100_test.mis"))
+        super().__init__(**kw)
+
+
+@register_datamodule("IMAGENET")
+class ImagenetDataModule(SSLDataModule):
+    """ImageNet at 112² crops (reference IMAGENET_FFCV,
+    `lightning_module.py:335-376`)."""
+
+    def __init__(self, **kw):
+        kw.setdefault("NUM_CLASSES", 1000)
+        kw.setdefault("channels", 3)
+        kw.setdefault("crop_size", 112)
+        kw.setdefault("train_mean", (123.675, 116.28, 103.53))   # IMAGENET_MEAN*255
+        kw.setdefault("train_std", (58.395, 57.12, 57.375))
+        kw.setdefault("val_mean", (123.675, 116.28, 103.53))   # 0.485/0.456/0.406 * 255, :338
+        kw.setdefault("val_std", (58.395, 57.12, 57.375))     # 0.229/0.224/0.225 * 255, :339
+        kw.setdefault("train_store", _env("IMAGENET_TRAIN_STORE", "data/stores/imagenet_train.mis"))
+        kw.setdefault("val_store", _env("IMAGENET_VAL_STORE", "data/stores/imagenet_val.mis"))
+        super().__init__(**kw)
+
+
+# ---------------------------------------------------------------------------
+# Decathlon segmentation datamodules (reference lightning_module.py:580-809)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class DecathlonDataModule:
+    """Paired image/mask PNG-dir datamodule (reference DecathlonDataModule,
+    `lightning_module.py:580-721`): Resize 224², ColorJitter(0.2,0.2) train,
+    NEAREST mask resize, stats on the 0-1 scale."""
+
+    images_dir: str = ""
+    masks_dir: str = ""
+    split_file: str = ""
+    image_size: int = 224
+    mean: Tuple[float, ...] = (0.5,)
+    std: Tuple[float, ...] = (0.5,)
+
+    def dataset(self, split: str):
+        from medical_image_segmentation_tpu.data.decathlon import DecathlonDataset
+
+        return DecathlonDataset(self.images_dir, self.masks_dir, self.split_file, split)
+
+    def loader(self, split: str, batch_size: int, seed: int = 0,
+               shard: Tuple[int, int] = (0, 1), num_threads: int = 4):
+        from medical_image_segmentation_tpu.data.decathlon import DecathlonLoader
+
+        return DecathlonLoader(
+            self.dataset(split), batch_size, image_size=self.image_size,
+            shuffle=(split == "train"), seed=seed, shard=shard, num_threads=num_threads,
+        )
+
+
+def _dec(name, mean, std):
+    @register_datamodule(name)
+    @dataclasses.dataclass
+    class _M(DecathlonDataModule):
+        def __init__(self, **kw):
+            kw.setdefault("mean", mean)
+            kw.setdefault("std", std)
+            super().__init__(**kw)
+
+    _M.__name__ = name
+    return _M
+
+
+# stats from lightning_module.py:727-728,749-750,771-772,793-794
+DecathlonHeartDataModule = _dec("DECATHLON_HEART", (0.1181,), (0.1720,))
+DecathlonLiverDataModule = _dec("DECATHLON_LIVER", (0.2089,), (0.2109,))
+DecathlonHippocampusDataModule = _dec("DECATHLON_HIPPOCAMPUS", (0.4982,), (0.2373,))
+DecathlonLungDataModule = _dec("DECATHLON_LUNG", (0.1475,), (0.1685,))

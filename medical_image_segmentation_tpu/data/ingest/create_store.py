@@ -1,0 +1,155 @@
+"""DICOM → MIS store builder (the FFCV dataset-build equivalent).
+
+Parity with the reference `analyze_data/create_ffcv_subset.py`:
+
+- consumes the ``original_to_new_map.json`` written by ``write_subset``
+  (:15-33) or a directory of DICOMs;
+- per image (reference `DICOMImageDataset.__getitem__`, :36-65):
+  decode → min-max normalize to float32 [0,1] → **PIL BICUBIC** resize to
+  ``--max_resolution`` → re-min-max-normalize → scale to uint8. The
+  double-normalization around the exact PIL BICUBIC resample is the
+  bit-parity-sensitive sequence called out in SURVEY §7 "hard parts";
+- ``--test`` mode builds a 100-image store (:85,94-95);
+- output is one self-contained `.mis` file (instead of `.beton`).
+
+Also provides ``pngdir_to_store`` for converting a curated PNG subset
+directly (the `convert_pytorch_loader_to_ffcv_dataset.py` role)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from medical_image_segmentation_tpu.data import dicom
+from medical_image_segmentation_tpu.data.store import CODEC_JPEG, CODEC_RAW, StoreWriter
+
+
+def dicom_to_uint8(path: str, max_resolution: Optional[int]) -> np.ndarray:
+    """The reference's exact decode→normalize→BICUBIC→renormalize→uint8
+    sequence (`create_ffcv_subset.py:41-62`). Returns (H, W, 1) uint8."""
+    from PIL import Image
+
+    arr = dicom.read_dicom(path).pixel_array
+    if arr.ndim != 2:
+        raise ValueError(f"not 2D: {arr.shape}")
+    arr = arr.astype(np.float32)
+    lo, hi = float(arr.min()), float(arr.max())
+    if hi <= lo:
+        raise ValueError("constant image")
+    arr = (arr - lo) / (hi - lo)
+    if max_resolution is not None:
+        h, w = arr.shape
+        m = max(h, w)
+        if m > max_resolution:
+            scale = max_resolution / m
+            size = (int(round(w * scale)), int(round(h * scale)))
+            arr = np.asarray(Image.fromarray(arr).resize(size, Image.BICUBIC), np.float32)
+    lo, hi = float(arr.min()), float(arr.max())
+    if hi > lo:
+        arr = (arr - lo) / (hi - lo)
+    return (arr * 255.0).astype(np.uint8)[..., None]
+
+
+def build_store(
+    paths: Sequence[str],
+    output: str,
+    max_resolution: int = 224,
+    codec: int = CODEC_JPEG,
+    quality: int = 90,
+) -> int:
+    n_ok = 0
+    with StoreWriter(output, channels=1, with_labels=False) as w:
+        for i, p in enumerate(paths):
+            try:
+                img = dicom_to_uint8(p, max_resolution)
+            except Exception as e:
+                print(f"skip {p}: {type(e).__name__}: {e}", file=sys.stderr)
+                continue
+            w.add(img, codec=codec, quality=quality)
+            n_ok += 1
+            if n_ok % 1000 == 0:
+                print(f"\r{n_ok}/{len(paths)}", end="", file=sys.stderr)
+    print(f"\nwrote {n_ok} images → {output}", file=sys.stderr)
+    return n_ok
+
+
+def pngdir_to_store(
+    image_dir: str,
+    output: str,
+    max_resolution: Optional[int] = None,
+    codec: int = CODEC_JPEG,
+    quality: int = 90,
+    limit: Optional[int] = None,
+) -> int:
+    """Convert a curated PNG subset (16-bit grayscale) to a store,
+    applying the reference's uint16→uint8 `(image/256)` conversion
+    (`pytorch_datasets.py:120-144`)."""
+    import cv2
+
+    paths: List[str] = []
+    for root, _d, files in os.walk(image_dir):
+        for f in sorted(files):
+            if f.endswith(".png"):
+                paths.append(os.path.join(root, f))
+    if limit:
+        paths = paths[:limit]
+    n_ok = 0
+    with StoreWriter(output, channels=1, with_labels=False) as w:
+        for p in paths:
+            img = cv2.imread(p, cv2.IMREAD_UNCHANGED)
+            if img is None:
+                print(f"skip unreadable {p}", file=sys.stderr)
+                continue
+            if img.dtype == np.uint16:
+                img = (img / 256).astype(np.uint8)
+            if img.ndim == 3:
+                img = img[..., 0]
+            if max_resolution is not None and max(img.shape) > max_resolution:
+                scale = max_resolution / max(img.shape)
+                img = cv2.resize(img, (int(round(img.shape[1] * scale)), int(round(img.shape[0] * scale))),
+                                 interpolation=cv2.INTER_AREA)
+            w.add(img[..., None], codec=codec, quality=quality)
+            n_ok += 1
+    print(f"wrote {n_ok} images → {output}", file=sys.stderr)
+    return n_ok
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    ap = argparse.ArgumentParser(description="Build a MIS store from DICOMs or a PNG subset")
+    ap.add_argument("--subset_map", default=None, help="original_to_new_map.json from write_subset")
+    ap.add_argument("--dicom_dir", default=None, help="directory tree of .dcm files")
+    ap.add_argument("--png_dir", default=None, help="curated 16-bit PNG subset directory")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--max_resolution", type=int, default=224)
+    ap.add_argument("--raw", action="store_true", help="store raw uint8 instead of JPEG")
+    ap.add_argument("--jpeg_quality", type=int, default=90)
+    ap.add_argument("--test", action="store_true", help="100-image smoke mode")
+    args = ap.parse_args(argv)
+
+    codec = CODEC_RAW if args.raw else CODEC_JPEG
+    if args.png_dir:
+        pngdir_to_store(args.png_dir, args.output, args.max_resolution, codec,
+                        args.jpeg_quality, limit=100 if args.test else None)
+        return 0
+    if args.subset_map:
+        with open(args.subset_map) as f:
+            paths = sorted(json.load(f).keys())
+    elif args.dicom_dir:
+        from medical_image_segmentation_tpu.data.ingest.utils import get_file_paths
+
+        paths = get_file_paths([args.dicom_dir], [".dcm"])
+    else:
+        ap.error("one of --subset_map / --dicom_dir / --png_dir is required")
+    if args.test:
+        paths = paths[:100]
+    build_store(paths, args.output, args.max_resolution, codec, args.jpeg_quality)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -73,8 +73,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
-    """Place a host pytree of arrays onto the mesh, batch-dim sharded."""
-    return jax.tree.map(
-        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x), axis)),
-        batch,
-    )
+    """Place a host pytree of arrays onto the mesh, batch-dim sharded.
+
+    A remainder batch whose leading dim does not divide the mesh is
+    replicated instead (correct, redundant compute) — this only happens for
+    the final partial eval batch when ``drop_last=False``."""
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+
+    def put(x):
+        if np.ndim(x) >= 1 and np.shape(x)[0] % n_dev == 0:
+            return jax.device_put(x, data_sharding(mesh, np.ndim(x), axis))
+        return jax.device_put(x, replicated(mesh))
+
+    return jax.tree.map(put, batch)

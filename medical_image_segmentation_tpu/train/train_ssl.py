@@ -1,0 +1,193 @@
+"""BYOL self-supervised pretraining entry point.
+
+Parity with the reference `train/train_ssl.py` (argparse :16-63, main
+:66-89): same flag surface and defaults (dataset registry name, batch 256,
+lr 1.0, wd 1e-6, warmup 10, proj 256, hidden 4096, momentum 0.99→1.0,
+workers/devices from SLURM env), plus what the TPU-native stack adds:
+orbax checkpoint/resume, KNN + linear probes actually wired (the reference
+callbacks are bit-rotted, SURVEY §"known bugs"), and a single jitted
+augment+train step instead of Lightning/DDP.
+
+Distributed: `jax.distributed` multi-host; the mesh spans all chips on one
+``data`` axis; each host's loader reads its own shard
+(shard = (process_index, process_count)).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
+    ap = argparse.ArgumentParser(description="BYOL SSL pretraining (TPU-native)")
+    # reference flag surface (train_ssl.py:16-63)
+    ap.add_argument("--dataset", default="CIFAR10")
+    ap.add_argument("--batch_size", type=int, default=256, help="global batch size")
+    ap.add_argument("--learning_rate", type=float, default=1.0)
+    ap.add_argument("--weight_decay", type=float, default=1e-6)
+    ap.add_argument("--warmup_epochs", type=int, default=10)
+    ap.add_argument("--max_epochs", type=int, default=100)
+    ap.add_argument("--projection_dim", type=int, default=256)
+    ap.add_argument("--hidden_dim", type=int, default=4096)
+    ap.add_argument("--base_momentum", type=float, default=0.99)
+    ap.add_argument("--final_momentum", type=float, default=1.0)
+    ap.add_argument("--arch", default="resnet18")
+    ap.add_argument("--num_workers", type=int,
+                    default=int(os.environ.get("SLURM_CPUS_PER_TASK", os.cpu_count() or 4)))
+    ap.add_argument("--seed", type=int, default=0)
+    # TPU-native additions
+    ap.add_argument("--log_dir", default="logs")
+    ap.add_argument("--checkpoint_dir", default="checkpoints/ssl")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--checkpoint_every_epochs", type=int, default=1)
+    ap.add_argument("--val_every_epochs", type=int, default=1)
+    ap.add_argument("--knn_every_epochs", type=int, default=0, help="0 disables the KNN probe")
+    ap.add_argument("--probe_loss_weight", type=float, default=1.0)
+    ap.add_argument("--limit_steps_per_epoch", type=int, default=0, help="smoke-test cap (0 = full epoch)")
+    ap.add_argument("--bf16", action="store_true", default=True)
+    ap.add_argument("--fp32", dest="bf16", action="store_false")
+    return ap.parse_args(argv)
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    args = parse_args(argv)
+    from medical_image_segmentation_tpu.core.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+    from medical_image_segmentation_tpu.core.metrics_logger import CSVMetricsLogger
+    from medical_image_segmentation_tpu.data.datamodules import get_datamodule
+    from medical_image_segmentation_tpu.data.loader import device_put_sharded_batches
+    from medical_image_segmentation_tpu.eval.knn import KNNEvaluator
+    from medical_image_segmentation_tpu.ops.augment import two_view_augment
+    from medical_image_segmentation_tpu.parallel import initialize_distributed, make_mesh, replicated
+    from medical_image_segmentation_tpu.train.byol_task import BYOLTask
+
+    initialize_distributed()
+    mesh = make_mesh()
+    if args.batch_size % len(jax.devices()) != 0:
+        raise SystemExit(
+            f"--batch_size {args.batch_size} must be divisible by the device count {len(jax.devices())}"
+        )
+    n_dev = len(jax.devices())
+    proc, nproc = jax.process_index(), jax.process_count()
+    is_main = proc == 0
+
+    dm = get_datamodule(args.dataset)()
+    per_host_batch = args.batch_size // nproc
+    train_loader = dm.train_loader(per_host_batch, num_threads=args.num_workers,
+                                   seed=args.seed, shard=(proc, nproc), distributed=nproc > 1)
+    steps_per_epoch = len(train_loader)
+    if args.limit_steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, args.limit_steps_per_epoch)
+    total_steps = steps_per_epoch * args.max_epochs
+
+    task = BYOLTask(
+        arch=args.arch, in_channels=dm.channels, low_res=dm.low_res,
+        hidden_dim=args.hidden_dim, proj_dim=args.projection_dim,
+        num_classes=dm.NUM_CLASSES,
+        learning_rate=args.learning_rate, weight_decay=args.weight_decay,
+        warmup_epochs=args.warmup_epochs, max_epochs=args.max_epochs,
+        base_ema_momentum=args.base_momentum, final_ema_momentum=args.final_momentum,
+        total_steps=total_steps, steps_per_epoch=steps_per_epoch,
+        probe_loss_weight=args.probe_loss_weight,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+    sample = (2, dm.crop_size, dm.crop_size, dm.channels)
+    state = task.init(jax.random.key(args.seed), sample)
+    state = jax.device_put(state, replicated(mesh))
+
+    start_epoch = 0
+    if args.resume:
+        step = latest_step(args.checkpoint_dir)
+        if step is not None:
+            state = restore_checkpoint(os.path.join(args.checkpoint_dir, str(step)), state)
+            start_epoch = int(np.asarray(state.step)) // steps_per_epoch
+            print(f"resumed from step {int(np.asarray(state.step))} (epoch {start_epoch})", file=sys.stderr)
+
+    cfg1, cfg2 = dm.view_configs()
+    mean, std = tuple(dm.train_mean), tuple(dm.train_std)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+
+    @jax.jit
+    def train_step(state, imgs, labels, key):
+        v1, v2 = two_view_augment(key, imgs, cfg1, cfg2, mean=mean, std=std, dtype=dtype)
+        return task.train_step(state, v1, v2, labels)
+
+    logger = CSVMetricsLogger(args.log_dir) if is_main else None
+    key = jax.random.key(args.seed + 1)
+
+    for epoch in range(start_epoch, args.max_epochs):
+        t0 = time.time()
+        n_imgs = 0
+        metrics = {}
+        for i, (imgs, labels) in enumerate(device_put_sharded_batches(train_loader, mesh)):
+            if args.limit_steps_per_epoch and i >= args.limit_steps_per_epoch:
+                break
+            key = jax.random.fold_in(key, 1)
+            state, metrics = train_step(state, imgs, labels, key)
+            n_imgs += args.batch_size
+            if logger and (i % 50 == 0):
+                logger.log({k: float(v) for k, v in metrics.items()}, step=int(np.asarray(state.step)), epoch=epoch)
+        if metrics:
+            # fence on a metric value (block_until_ready is unreliable on axon)
+            last_loss = float(metrics["loss"])
+            dt = time.time() - t0
+            if is_main:
+                print(
+                    f"epoch {epoch}: loss={last_loss:.4f} "
+                    f"{n_imgs/dt:.0f} img/s ({n_imgs/dt/n_dev:.0f}/chip) "
+                    f"lr={float(metrics['lr']):.4f} tau={float(metrics['momentum']):.5f}",
+                    file=sys.stderr,
+                )
+
+        if args.val_every_epochs and (epoch + 1) % args.val_every_epochs == 0:
+            try:
+                val_loader = dm.val_loader(per_host_batch, num_threads=args.num_workers, shard=(proc, nproc))
+            except FileNotFoundError:
+                val_loader = None
+            if val_loader is not None:
+                aggr = {"val/loss": 0.0, "val/acc@1": 0.0, "val/acc@5": 0.0}
+                n_b = 0
+                for imgs, labels in device_put_sharded_batches(val_loader, mesh):
+                    x = (imgs.astype(jnp.float32) - jnp.asarray(dm.val_mean)) / jnp.asarray(dm.val_std)
+                    m = task.val_step(state, x, labels)
+                    for k in aggr:
+                        aggr[k] += float(m[k])
+                    n_b += 1
+                if n_b and is_main:
+                    aggr = {k: v / n_b for k, v in aggr.items()}
+                    print(f"epoch {epoch}: " + " ".join(f"{k}={v:.4f}" for k, v in aggr.items()), file=sys.stderr)
+                    logger.log(aggr, step=int(np.asarray(state.step)), epoch=epoch)
+
+        if args.knn_every_epochs and (epoch + 1) % args.knn_every_epochs == 0:
+            try:
+                bank_loader = dm.train_loader(per_host_batch, num_threads=args.num_workers,
+                                              seed=args.seed, shard=(proc, nproc))
+                val_loader = dm.val_loader(per_host_batch, num_threads=args.num_workers, shard=(proc, nproc))
+                ev = KNNEvaluator(num_classes=dm.NUM_CLASSES)
+                acc = ev.evaluate(
+                    lambda x: task.embed_step(state, (x.astype(jnp.float32) - jnp.asarray(dm.train_mean)) / jnp.asarray(dm.train_std)),
+                    iter(bank_loader),
+                    iter(val_loader),
+                )
+                if is_main:
+                    print(f"epoch {epoch}: online_knn_val_acc={acc:.4f}", file=sys.stderr)
+                    logger.log({"online_knn_val_acc": acc}, step=int(np.asarray(state.step)), epoch=epoch)
+            except FileNotFoundError:
+                pass
+
+        if is_main and args.checkpoint_every_epochs and (epoch + 1) % args.checkpoint_every_epochs == 0:
+            path = save_checkpoint(args.checkpoint_dir, jax.device_get(state), int(np.asarray(state.step)))
+            print(f"checkpoint → {path}", file=sys.stderr)
+
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

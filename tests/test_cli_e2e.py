@@ -1,0 +1,115 @@
+"""Full-workflow CLI test: synthetic DICOMs → subset → store → BYOL pretrain
+→ SSL→U-Net handoff → segmentation fit/test/predict. This is the whole
+reference pipeline (SURVEY §3) driven through our entry points on a tiny
+scale."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from medical_image_segmentation_tpu.data.dicom import write_dicom
+from medical_image_segmentation_tpu.data.nifti import write_nifti
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    ws = tmp_path_factory.mktemp("e2e")
+    # --- synthetic TCIA-like DICOM tree ---
+    dcm_dir = ws / "med_datasets" / "pancreasct"
+    dcm_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(10):
+        arr = rng.integers(0, 4096, size=(260, 260)).astype(np.uint16)
+        write_dicom(str(dcm_dir / f"img{i}.dcm"), arr)
+    # --- synthetic Decathlon task ---
+    (ws / "Task99" / "imagesTr").mkdir(parents=True)
+    (ws / "Task99" / "labelsTr").mkdir(parents=True)
+    for v in range(3):
+        vol = rng.normal(100, 40, size=(64, 64, 4)).astype(np.float32)
+        seg = np.zeros((64, 64, 4), np.uint8)
+        seg[20:40, 20:40, :] = 1
+        write_nifti(str(ws / "Task99" / "imagesTr" / f"la_{v:03d}.nii.gz"), vol)
+        write_nifti(str(ws / "Task99" / "labelsTr" / f"la_{v:03d}.nii.gz"), seg)
+    return ws
+
+
+def test_full_pipeline(workspace, monkeypatch):
+    ws = workspace
+    from medical_image_segmentation_tpu.data.ingest import create_subset, create_store, slice_decathlon, create_splits
+
+    # 1. scans
+    dims_json = str(ws / "dims.json")
+    hashes_json = str(ws / "hashes.json")
+    assert create_subset.main(["dicom_sizes", str(ws / "med_datasets"), "--output", dims_json,
+                               "--num_processes", "1"]) == 0
+    assert create_subset.main(["dicom_hashes", str(ws / "med_datasets"), "--output", hashes_json,
+                               "--num_processes", "1"]) == 0
+    assert len(json.load(open(dims_json))) == 10
+
+    # 2. curated subset
+    subset_dir = str(ws / "subset")
+    map_json = str(ws / "map.json")
+    assert create_subset.main([
+        "write_subset", "--dimensions_map", dims_json, "--hashes_map", hashes_json,
+        "--output_dir", subset_dir, "--size", "8", "--num_subfolders", "4",
+        "--num_processes", "1", "--mapping_output", map_json,
+    ]) == 0
+    mapping = json.load(open(map_json))
+    assert len(mapping) == 8
+
+    # 3. store build (from the curated PNGs, 224 max-res, JPEG)
+    store_path = str(ws / "radiology_train.mis")
+    assert create_store.main(["--png_dir", subset_dir, "--output", store_path,
+                              "--max_resolution", "224"]) == 0
+    assert os.path.getsize(store_path) > 0
+
+    # 4. SSL pretrain (tiny: 1 epoch, 2 steps, batch 4)
+    from medical_image_segmentation_tpu.train import train_ssl
+
+    monkeypatch.setenv("RADIOLOGY_1M_TRAIN_STORE", store_path)
+    monkeypatch.setenv("RADIOLOGY_1M_VAL_STORE", str(ws / "missing.mis"))
+    ckpt_dir = str(ws / "ckpt_ssl")
+    assert train_ssl.main([
+        "--dataset", "RADIOLOGY_1M", "--batch_size", "8", "--max_epochs", "1",
+        "--hidden_dim", "64", "--projection_dim", "16",
+        "--limit_steps_per_epoch", "2", "--num_workers", "1",
+        "--checkpoint_dir", ckpt_dir, "--log_dir", str(ws / "logs"), "--fp32",
+    ]) == 0
+    steps = [d for d in os.listdir(ckpt_dir) if d.isdigit()]
+    assert steps, "SSL checkpoint missing"
+    ssl_ckpt = os.path.join(ckpt_dir, max(steps, key=int))
+
+    # 5. slice Decathlon + splits
+    img_out = str(ws / "slices" / "images")
+    msk_out = str(ws / "slices" / "masks")
+    assert slice_decathlon.main([
+        "--images_dir", str(ws / "Task99" / "imagesTr"),
+        "--labels_dir", str(ws / "Task99" / "labelsTr"),
+        "--images_out", img_out, "--masks_out", msk_out, "--num_processes", "1",
+    ]) == 0
+    assert create_splits.main(["--images_dir", img_out, "--output_dir", str(ws / "splits")]) == 0
+    split_file = str(ws / "splits" / "split_100_percent_train.json")
+
+    # 6. segmentation fit/test/predict with SSL handoff
+    from medical_image_segmentation_tpu.train import train_segmentation
+
+    grid = str(ws / "grid.png")
+    assert train_segmentation.main([
+        "--dataset", "DECATHLON_HEART", "--images_dir", img_out, "--masks_dir", msk_out,
+        "--split_file", split_file, "--batch_size", "8", "--max_epochs", "1",
+        "--warmup_epochs", "0", "--image_size", "64", "--num_workers", "1",
+        "--limit_steps_per_epoch", "1", "--checkpoint_dir", str(ws / "ckpt_seg"),
+        "--log_dir", str(ws / "logs_seg"), "--ssl_checkpoint", ssl_ckpt,
+        "--predict_grid", grid, "--fp32",
+    ]) == 0
+    assert os.path.exists(grid)
+
+    # 7. metrics CSV exists and has the reference's metric names
+    import glob
+
+    csvs = glob.glob(str(ws / "logs_seg" / "lightning_logs" / "version_*" / "metrics.csv"))
+    assert csvs
+    header = open(csvs[0]).readline()
+    assert "train/loss" in header
