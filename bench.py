@@ -33,8 +33,8 @@ def main():
     ap.add_argument("--warmup", type=int, default=5)
     args = ap.parse_args()
 
-    from medical_image_segmentation_tpu.ops.augment import BYOL_VIEW1, BYOL_VIEW2, ViewConfig
-    from medical_image_segmentation_tpu.ops.augment import two_view_augment
+    from medical_image_segmentation_tpu.ops.augment import BYOL_VIEW1, BYOL_VIEW2
+    from medical_image_segmentation_tpu.ops.pallas_augment import pallas_two_view_augment
     from medical_image_segmentation_tpu.train import BYOLTask
 
     n_chips = len(jax.devices())
@@ -58,7 +58,7 @@ def main():
 
     @jax.jit
     def step(state, raw, key):
-        v1, v2 = two_view_augment(key, raw, cfg1, cfg2)
+        v1, v2 = pallas_two_view_augment(key, raw, cfg1, cfg2)
         return task.train_step(state, v1, v2)
 
     key = jax.random.key(1)

@@ -83,16 +83,46 @@ def iter_png_batches(
         yield im[None]
 
 
+def iter_store_batches(
+    store_path: str, batch_size: int = 64, scale: float = 1.0,
+    limit: Optional[int] = None, center_crop: Optional[int] = None,
+) -> Iterable[np.ndarray]:
+    """Batches from a MIS store; ``center_crop`` reproduces the reference's
+    FFCV stats variant with a CenterCrop(224) decoder
+    (`compute_dataset_metrics.py:39-59`)."""
+    from medical_image_segmentation_tpu.data.store.reader import StoreReader
+
+    r = StoreReader(store_path)
+    n = min(limit, len(r)) if limit else len(r)
+    for i in range(n):
+        img = r.image(i).astype(np.float64) * scale
+        if center_crop:
+            h, w = img.shape[:2]
+            s = min(h, w, center_crop)
+            y0, x0 = (h - s) // 2, (w - s) // 2
+            img = img[y0 : y0 + s, x0 : x0 + s]
+        yield img[None]
+
+
 def main(argv: Optional[Sequence[str]] = None) -> int:
     ap = argparse.ArgumentParser(description="Compute per-channel dataset mean/std (float64 streaming)")
-    ap.add_argument("--image_dir", required=True)
+    ap.add_argument("--image_dir", default=None)
+    ap.add_argument("--store", default=None, help="MIS store path (instead of --image_dir)")
+    ap.add_argument("--center_crop", type=int, default=None, help="center-crop size for store stats")
     ap.add_argument("--scale", type=float, default=1.0, help="1.0 for 0-255 stats, 1/255 for 0-1 stats")
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--output", default=None, help="optional JSON output path")
     args = ap.parse_args(argv)
+    if not args.image_dir and not args.store:
+        ap.error("one of --image_dir / --store is required")
 
+    if args.store:
+        batches = iter_store_batches(args.store, scale=args.scale, limit=args.limit,
+                                     center_crop=args.center_crop)
+    else:
+        batches = iter_png_batches(args.image_dir, scale=args.scale, limit=args.limit)
     acc = None
-    for batch in iter_png_batches(args.image_dir, scale=args.scale, limit=args.limit):
+    for batch in batches:
         if acc is None:
             acc = StreamingMoments(batch.shape[-1])
         acc.update(batch)

@@ -1,0 +1,138 @@
+"""Pallas TPU kernel: fully-fused two-view SSL augmentation (grayscale path).
+
+The XLA version (`ops/augment.py`) lowers to batched matmuls plus an
+elementwise tail, but materializes the interpolation matrices R_y/R_x and
+the row-resampled intermediate in HBM between fusions. This kernel fuses
+the whole per-sample pipeline in VMEM:
+
+    uint8 img (H, W) ──► build R_y (oh,H), R_x' (ow,W) from crop params
+                      ──► MXU: tmp = R_y @ img; view = tmp @ R_x'ᵀ
+                      ──► solarize → normalize → bf16 out (oh, ow)
+
+per grid step (one sample, both views), so HBM traffic is exactly
+one uint8 image read + two bf16 view writes.
+
+Crop/flip/solarize parameters are sampled in plain JAX (tiny) and passed as
+a per-sample SMEM vector; the horizontal flip is folded into R_x by
+mirroring the source coordinate (branch-free). Covers the FFCV-parity
+pipeline (RRC + flip + solarize + normalize — grayscale medical images have
+no channel jitter; reference `lightning_module.py:77-95`). RGB and blur go
+through the XLA path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from medical_image_segmentation_tpu.ops.augment import ViewConfig, sample_rrc_window
+
+# per-view params packed as [y0, x0, ch, cw, flip, solarize] → 6 floats
+_PARAMS_PER_VIEW = 6
+_N_PARAMS = 16  # padded (2 views × 6 used)
+
+
+def _interp_rows(start, size, in_dim: int, out_dim: int, flip, mirror: bool):
+    """(out_dim, in_dim) bilinear weights built from iota comparisons.
+    ``mirror`` folds a horizontal flip: out coord i samples the window
+    right-to-left when flip is set."""
+    # Mosaic iota must be integer-typed; cast to f32 afterwards
+    i = jax.lax.broadcasted_iota(jnp.int32, (out_dim, in_dim), 0).astype(jnp.float32)
+    k = jax.lax.broadcasted_iota(jnp.int32, (out_dim, in_dim), 1).astype(jnp.float32)
+    scale = size / out_dim
+    pos = i + 0.5
+    if mirror:
+        pos = jnp.where(flip > 0.5, out_dim - pos, pos)
+    src = jnp.clip(start + pos * scale - 0.5, 0.0, in_dim - 1)
+    lo = jnp.floor(src)
+    fr = src - lo
+    return ((k == lo) * (1.0 - fr) + (k == lo + 1.0) * fr)
+
+
+def _augment_kernel(params_ref, img_ref, v1_ref, v2_ref, *, in_h, in_w, out_h, out_w,
+                    mean, std, thresh):
+    # Mosaic has no direct uint8→f32 cast; hop through int32
+    img = img_ref[0].astype(jnp.int32).astype(jnp.float32)  # (H, W)
+    for view, out_ref in ((0, v1_ref), (1, v2_ref)):
+        base = view * _PARAMS_PER_VIEW
+        y0 = params_ref[0, 0, base + 0]
+        x0 = params_ref[0, 0, base + 1]
+        ch = params_ref[0, 0, base + 2]
+        cw = params_ref[0, 0, base + 3]
+        flip = params_ref[0, 0, base + 4]
+        sol = params_ref[0, 0, base + 5]
+
+        r_y = _interp_rows(y0, ch, in_h, out_h, flip, mirror=False)
+        r_x = _interp_rows(x0, cw, in_w, out_w, flip, mirror=True)
+        tmp = jnp.dot(r_y, img, preferred_element_type=jnp.float32)       # (oh, W) MXU
+        out = jnp.dot(tmp, r_x.T, preferred_element_type=jnp.float32)     # (oh, ow) MXU
+        out = jnp.where((sol > 0.5) & (out >= thresh), 255.0 - out, out)
+        out_ref[0] = ((out - mean) / std).astype(out_ref.dtype)
+
+
+def sample_view_params(rng: jax.Array, batch: int, in_h: int, in_w: int,
+                       cfg1: ViewConfig, cfg2: ViewConfig) -> jax.Array:
+    """(B, 16) float32 per-sample parameter block for the kernel."""
+    cols = []
+    for cfg, key in zip((cfg1, cfg2), jax.random.split(rng)):
+        kw, kf, ks = jax.random.split(key, 3)
+        y0, x0, h, w = sample_rrc_window(kw, batch, in_h, in_w, cfg.crop_scale, cfg.crop_ratio)
+        flip = (jax.random.uniform(kf, (batch,)) < cfg.hflip_prob).astype(jnp.float32)
+        sol = (jax.random.uniform(ks, (batch,)) < cfg.solarize_prob).astype(jnp.float32)
+        cols += [y0, x0, h, w, flip, sol]
+    params = jnp.stack(cols, axis=1).astype(jnp.float32)  # (B, 12)
+    pad = _N_PARAMS - params.shape[1]
+    return jnp.pad(params, ((0, 0), (0, pad)))
+
+
+@partial(jax.jit, static_argnames=("cfg1", "cfg2", "mean", "std", "dtype", "interpret"))
+def pallas_two_view_augment(
+    rng: jax.Array,
+    images: jax.Array,            # (B, H, W, 1) or (B, H, W) uint8
+    cfg1: ViewConfig,
+    cfg2: ViewConfig,
+    mean: Tuple[float, ...] = (57.9764,),
+    std: Tuple[float, ...] = (60.4759,),
+    dtype=jnp.bfloat16,
+    interpret: bool = False,
+):
+    """Drop-in replacement for `two_view_augment` on grayscale batches."""
+    if images.ndim == 4:
+        if images.shape[-1] != 1:
+            raise ValueError("pallas augment kernel is single-channel; use the XLA path for RGB")
+        images = images[..., 0]
+    b, in_h, in_w = images.shape
+    oh1, ow1 = cfg1.out_size
+    oh2, ow2 = cfg2.out_size
+    if (oh1, ow1) != (oh2, ow2):
+        raise ValueError("both views must share out_size in the fused kernel")
+    params = sample_view_params(rng, b, in_h, in_w, cfg1, cfg2)[:, None, :]  # (B,1,16) for SMEM blocking
+
+    kernel = partial(
+        _augment_kernel,
+        in_h=in_h, in_w=in_w, out_h=oh1, out_w=ow1,
+        mean=float(mean[0]), std=float(std[0]), thresh=float(cfg2.solarize_threshold),
+    )
+    v1, v2 = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 1, _N_PARAMS), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, in_h, in_w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, oh1, ow1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, oh1, ow1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, oh1, ow1), dtype),
+            jax.ShapeDtypeStruct((b, oh1, ow1), dtype),
+        ),
+        interpret=interpret,
+    )(params, images)
+    return v1[..., None], v2[..., None]

@@ -57,6 +57,19 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     return ap.parse_args(argv)
 
 
+def _val_preprocess(imgs, dm):
+    """Center-crop to the train crop size + normalize with val stats — the
+    reference val pipeline (CenterCrop decoder + Normalize,
+    `lightning_module.py:154-177,239-248`)."""
+    import jax.numpy as jnp
+
+    b, h, w, c = imgs.shape
+    s = min(h, w, dm.crop_size)
+    y0, x0 = (h - s) // 2, (w - s) // 2
+    x = imgs[:, y0 : y0 + s, x0 : x0 + s, :].astype(jnp.float32)
+    return (x - jnp.asarray(dm.val_mean)) / jnp.asarray(dm.val_std)
+
+
 def main(argv: Optional[Sequence[str]] = None) -> int:
     args = parse_args(argv)
     from medical_image_segmentation_tpu.core.checkpoint import latest_step, restore_checkpoint, save_checkpoint
@@ -65,6 +78,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     from medical_image_segmentation_tpu.data.loader import device_put_sharded_batches
     from medical_image_segmentation_tpu.eval.knn import KNNEvaluator
     from medical_image_segmentation_tpu.ops.augment import two_view_augment
+    from medical_image_segmentation_tpu.ops.pallas_augment import pallas_two_view_augment
     from medical_image_segmentation_tpu.parallel import initialize_distributed, make_mesh, replicated
     from medical_image_segmentation_tpu.train.byol_task import BYOLTask
 
@@ -114,9 +128,21 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     mean, std = tuple(dm.train_mean), tuple(dm.train_std)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
 
+    # grayscale, blur-free configs take the fused Pallas kernel; RGB / blur
+    # configs take the XLA matmul path (same math, see ops/pallas_augment.py)
+    use_pallas = (
+        dm.channels == 1
+        and jax.default_backend() == "tpu"
+        and cfg1.blur_prob == 0.0 and cfg2.blur_prob == 0.0
+        and cfg1.jitter_prob == 0.0 and cfg2.jitter_prob == 0.0
+    )
+
     @jax.jit
     def train_step(state, imgs, labels, key):
-        v1, v2 = two_view_augment(key, imgs, cfg1, cfg2, mean=mean, std=std, dtype=dtype)
+        if use_pallas:
+            v1, v2 = pallas_two_view_augment(key, imgs, cfg1, cfg2, mean=mean, std=std, dtype=dtype)
+        else:
+            v1, v2 = two_view_augment(key, imgs, cfg1, cfg2, mean=mean, std=std, dtype=dtype)
         return task.train_step(state, v1, v2, labels)
 
     logger = CSVMetricsLogger(args.log_dir) if is_main else None
@@ -155,7 +181,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                 aggr = {"val/loss": 0.0, "val/acc@1": 0.0, "val/acc@5": 0.0}
                 n_b = 0
                 for imgs, labels in device_put_sharded_batches(val_loader, mesh):
-                    x = (imgs.astype(jnp.float32) - jnp.asarray(dm.val_mean)) / jnp.asarray(dm.val_std)
+                    x = _val_preprocess(imgs, dm)
                     m = task.val_step(state, x, labels)
                     for k in aggr:
                         aggr[k] += float(m[k])
@@ -172,7 +198,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                 val_loader = dm.val_loader(per_host_batch, num_threads=args.num_workers, shard=(proc, nproc))
                 ev = KNNEvaluator(num_classes=dm.NUM_CLASSES)
                 acc = ev.evaluate(
-                    lambda x: task.embed_step(state, (x.astype(jnp.float32) - jnp.asarray(dm.train_mean)) / jnp.asarray(dm.train_std)),
+                    lambda x: task.embed_step(state, _val_preprocess(jnp.asarray(x), dm)),
                     iter(bank_loader),
                     iter(val_loader),
                 )

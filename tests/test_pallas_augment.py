@@ -1,0 +1,79 @@
+"""Pallas fused augmentation kernel vs the XLA reference path (interpret
+mode on CPU; same crop/flip/solarize params → identical math)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from medical_image_segmentation_tpu.ops.augment import (
+    BYOL_VIEW1,
+    BYOL_VIEW2,
+    _flip_cols,
+    _resize_matrix,
+    apply_resample,
+)
+from medical_image_segmentation_tpu.ops.pallas_augment import (
+    pallas_two_view_augment,
+    sample_view_params,
+)
+
+
+def _reference_views(params, images, out_hw, mean, std, thresh=128.0):
+    """Reference math using the XLA-path primitives with the SAME params."""
+    b, in_h, in_w = images.shape
+    oh, ow = out_hw
+    outs = []
+    img4 = images[..., None].astype(jnp.float32)
+    for view in range(2):
+        base = view * 6
+        y0, x0, ch, cw, flip, sol = (params[:, base + k] for k in range(6))
+        r_y = _resize_matrix(y0, ch, in_h, oh)
+        r_x = _flip_cols(_resize_matrix(x0, cw, in_w, ow), flip > 0.5)
+        x = apply_resample(img4, r_y, r_x).astype(jnp.float32)
+        x = jnp.where((sol[:, None, None, None] > 0.5) & (x >= thresh), 255.0 - x, x)
+        outs.append((x - mean) / std)
+    return outs
+
+
+class TestPallasAugment:
+    def test_matches_xla_reference(self):
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(rng.integers(0, 256, size=(4, 64, 64)), jnp.uint8)
+        cfg1 = dataclasses.replace(BYOL_VIEW1, out_size=(32, 32), solarize_prob=0.5)
+        cfg2 = dataclasses.replace(BYOL_VIEW2, out_size=(32, 32), solarize_prob=0.5)
+        key = jax.random.key(1)
+        params = sample_view_params(key, 4, 64, 64, cfg1, cfg2)
+        v1, v2 = pallas_two_view_augment(
+            key, images, cfg1, cfg2, mean=(57.9764,), std=(60.4759,),
+            dtype=jnp.float32, interpret=True,
+        )
+        r1, r2 = _reference_views(params, images, (32, 32), 57.9764, 60.4759)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(r1)[..., 0][..., None], atol=1e-3)
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(r2)[..., 0][..., None], atol=1e-3)
+
+    def test_flip_actually_flips(self):
+        rng = np.random.default_rng(1)
+        images = jnp.asarray(rng.integers(0, 256, size=(1, 32, 32)), jnp.uint8)
+        cfg_f = dataclasses.replace(
+            BYOL_VIEW1, out_size=(32, 32), crop_scale=(1.0, 1.0), crop_ratio=(1.0, 1.0),
+            hflip_prob=1.0, solarize_prob=0.0,
+        )
+        cfg_n = dataclasses.replace(cfg_f, hflip_prob=0.0)
+        key = jax.random.key(2)
+        vf, _ = pallas_two_view_augment(key, images, cfg_f, cfg_f, mean=(0.0,), std=(1.0,),
+                                        dtype=jnp.float32, interpret=True)
+        vn, _ = pallas_two_view_augment(key, images, cfg_n, cfg_n, mean=(0.0,), std=(1.0,),
+                                        dtype=jnp.float32, interpret=True)
+        np.testing.assert_allclose(np.asarray(vf)[0, :, :, 0],
+                                   np.asarray(vn)[0, :, ::-1, 0], atol=1e-3)
+
+    def test_rgb_rejected(self):
+        images = jnp.zeros((2, 32, 32, 3), jnp.uint8)
+        cfg = dataclasses.replace(BYOL_VIEW1, out_size=(16, 16))
+        try:
+            pallas_two_view_augment(jax.random.key(0), images, cfg, cfg, interpret=True)
+            assert False, "should reject RGB"
+        except ValueError as e:
+            assert "single-channel" in str(e)
