@@ -72,6 +72,15 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def spatial_sharding(mesh: Mesh, ndim: int = 4, batch_axis: str = "data", space_axis: str = "space") -> NamedSharding:
+    """Shard images (B, H, W, C) over batch AND height — for full-res CT
+    slices that exceed one chip's comfortable activation footprint
+    (SURVEY §5.7). XLA GSPMD inserts the conv halo exchanges automatically;
+    no manual ppermute needed."""
+    spec = P(batch_axis, space_axis, *([None] * (ndim - 2)))
+    return NamedSharding(mesh, spec)
+
+
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     """Place a host pytree of arrays onto the mesh, batch-dim sharded.
 
