@@ -240,3 +240,37 @@ class TestStats:
         mean, std = compute_mean_and_std(batches, channels=1)
         np.testing.assert_allclose(mean, [15.0])
         np.testing.assert_allclose(std, [5.0])
+
+
+class TestProcessFilesStress:
+    def test_10k_files_multiprocess(self):
+        """10k-file stress with 2 workers (reference test_utils.py:41-48)."""
+        paths = [f"f{i}" for i in range(10_000)]
+        out = utils.process_files(paths, _ok, 2, quiet=True)
+        assert len(out) == 10_000
+        assert out["f9999"] == {"path": "f9999"}
+
+
+class TestTciaManifest:
+    def test_parse(self, tmp_path):
+        from medical_image_segmentation_tpu.data.ingest.tcia import parse_manifest
+
+        p = tmp_path / "x.tcia"
+        p.write_text(
+            "downloadServerUrl=https://example/servlet\n"
+            "databasketId=manifest-x.tcia\n"
+            "manifestVersion=3.0\n"
+            "ListOfSeriesToDownload=\n"
+            "1.3.6.1.4.1.14519.5.2.1.1\n"
+            "1.3.6.1.4.1.14519.5.2.1.2\n"
+        )
+        m = parse_manifest(str(p))
+        assert m.version == "3.0"
+        assert m.server_url.endswith("servlet")
+        assert m.series_uids == ["1.3.6.1.4.1.14519.5.2.1.1", "1.3.6.1.4.1.14519.5.2.1.2"]
+
+    def test_download_offline_returns_error_status(self, tmp_path):
+        from medical_image_segmentation_tpu.data.ingest.tcia import download_series
+
+        st = download_series("1.2.3", str(tmp_path / "out"), timeout=1.0)
+        assert "error" in st  # zero-egress box: must fail gracefully, not raise
