@@ -1,0 +1,120 @@
+"""Sliding-window full-resolution segmentation inference.
+
+BASELINE.json config #4 ("segmentation fine-tune from SSL encoder: Dice+CE,
+sliding-window eval, full-res masks"): evaluate a window-trained U-Net on
+arbitrarily large slices by tiling overlapping windows, batching them
+through the jitted forward, and blending logits back with a smooth
+center-peaked weight map (so window-edge artifacts cancel).
+
+TPU-first: window extraction, the model forward, and the scatter-blend are
+three jitted programs with static shapes — each compiled once regardless of
+image size class; the blend is a `fori_loop` of dynamic-slice updates.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _window_starts(full: int, window: int, stride: int) -> np.ndarray:
+    """Start offsets covering [0, full) with the last window right-aligned."""
+    if full <= window:
+        return np.array([0], np.int32)
+    starts = list(range(0, full - window + 1, stride))
+    if starts[-1] != full - window:
+        starts.append(full - window)
+    return np.asarray(starts, np.int32)
+
+
+def _blend_weights(window: int) -> np.ndarray:
+    """1-D center-peaked (Hann) blend profile, strictly positive."""
+    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * (np.arange(window) + 0.5) / window)
+    return (w + 1e-3).astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("window",))
+def _extract_windows(image, coords, window: int):
+    def one(c):
+        return jax.lax.dynamic_slice(image, (c[0], c[1], 0), (window, window, image.shape[2]))
+
+    return jax.vmap(one)(coords)
+
+
+@partial(jax.jit, static_argnames=("window",))
+def _blend_batch(out_logits, weight_sum, coords, weighted, blend, valid, window: int):
+    """fori_loop scatter-add of weighted window logits into the canvas."""
+    k = out_logits.shape[-1]
+
+    def body(j, carry):
+        ol, ws = carry
+        y, x = coords[j, 0], coords[j, 1]
+        v = (j < valid).astype(jnp.float32)
+        patch = jax.lax.dynamic_slice(ol, (y, x, 0), (window, window, k))
+        ol = jax.lax.dynamic_update_slice(ol, patch + weighted[j] * v, (y, x, 0))
+        wpatch = jax.lax.dynamic_slice(ws, (y, x, 0), (window, window, 1))
+        ws = jax.lax.dynamic_update_slice(ws, wpatch + blend * v, (y, x, 0))
+        return ol, ws
+
+    return jax.lax.fori_loop(0, coords.shape[0], body, (out_logits, weight_sum))
+
+
+def sliding_window_predict(
+    apply_fn: Callable[[jax.Array], jax.Array],   # (N, S, S, C) → (N, S, S, K) logits
+    image: jax.Array,                              # (H, W, C) full-res, already normalized
+    window: int,
+    stride: int = 0,
+    batch_windows: int = 16,
+    num_classes: int = 1,
+) -> jax.Array:
+    """Full-res logits (H, W, K) by overlapped window blending."""
+    if stride <= 0:
+        stride = window // 2
+    orig_h, orig_w, c = image.shape
+    pad_h = max(window - orig_h, 0)
+    pad_w = max(window - orig_w, 0)
+    if pad_h or pad_w:
+        image = jnp.pad(image, ((0, pad_h), (0, pad_w), (0, 0)))
+    h, w, _ = image.shape
+
+    ys = _window_starts(h, window, stride)
+    xs = _window_starts(w, window, stride)
+    coords = np.array([(y, x) for y in ys for x in xs], np.int32)
+    n = len(coords)
+    pad_n = (-n) % batch_windows
+    if pad_n:
+        coords = np.concatenate([coords, np.tile(coords[-1:], (pad_n, 1))])
+
+    wy = jnp.asarray(_blend_weights(window))
+    blend = (wy[:, None] * wy[None, :])[..., None]  # (S, S, 1)
+
+    out_logits = jnp.zeros((h, w, num_classes), jnp.float32)
+    weight_sum = jnp.zeros((h, w, 1), jnp.float32)
+    for s in range(0, len(coords), batch_windows):
+        cb = jnp.asarray(coords[s : s + batch_windows])
+        windows = _extract_windows(image, cb, window)
+        logits = apply_fn(windows).astype(jnp.float32)        # (B, S, S, K)
+        valid = jnp.int32(min(n - s, batch_windows))
+        out_logits, weight_sum = _blend_batch(
+            out_logits, weight_sum, cb, logits * blend, blend, valid, window
+        )
+
+    full = out_logits / weight_sum
+    return full[:orig_h, :orig_w]
+
+
+def make_unet_window_fn(task, state):
+    """Jitted normalized-window forward for `sliding_window_predict`."""
+
+    @jax.jit
+    def fn(windows):
+        return task.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            windows, train=False,
+        )
+
+    return fn

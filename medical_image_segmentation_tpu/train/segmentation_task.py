@@ -50,8 +50,12 @@ class SegmentationTask:
         max_epochs: int = 50,
         min_lr: float = 1e-2,
         steps_per_epoch: int = 1,
+        loss: str = "dice",
         dtype: Any = jnp.bfloat16,
     ):
+        if loss not in ("dice", "dice_ce"):
+            raise ValueError(f"loss must be 'dice' or 'dice_ce', got {loss!r}")
+        self.loss_kind = loss
         self.model = UNet(arch=arch, n_classes=n_classes, in_channels=in_channels, dtype=dtype)
         self.schedule = linear_warmup_cosine_annealing(
             learning_rate, warmup_epochs, max_epochs, eta_min=min_lr, steps_per_epoch=steps_per_epoch
@@ -70,6 +74,17 @@ class SegmentationTask:
             opt_state=self.tx.init(params),
         )
 
+    def _loss(self, logits: jax.Array, masks: jax.Array) -> jax.Array:
+        """Dice, or Dice + sigmoid binary cross-entropy (BASELINE config #4
+        "Dice+CE" fine-tune objective)."""
+        loss = dice_loss(logits, masks)
+        if self.loss_kind == "dice_ce":
+            ce = optax.sigmoid_binary_cross_entropy(
+                logits.astype(jnp.float32), masks.astype(jnp.float32)
+            ).mean()
+            loss = loss + ce
+        return loss
+
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(self, state: SegState, images: jax.Array, masks: jax.Array):
         def loss_fn(params):
@@ -79,7 +94,7 @@ class SegmentationTask:
                 train=True,
                 mutable=["batch_stats"],
             )
-            return dice_loss(logits, masks), mutated["batch_stats"]
+            return self._loss(logits, masks), mutated["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)

@@ -47,6 +47,9 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     ap.add_argument("--ssl_checkpoint", default=None,
                     help="orbax BYOL checkpoint to initialize the U-Net encoder from")
     ap.add_argument("--predict_grid", default=None, help="path for a pred/truth overlay grid PNG")
+    ap.add_argument("--loss", default="dice", choices=["dice", "dice_ce"])
+    ap.add_argument("--full_res_window", type=int, default=0,
+                    help=">0: also evaluate test slices at native resolution via sliding-window blending")
     ap.add_argument("--limit_steps_per_epoch", type=int, default=0)
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--fp32", dest="bf16", action="store_false")
@@ -91,7 +94,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         arch=args.arch, n_classes=1, in_channels=1,
         learning_rate=args.learning_rate, weight_decay=args.weight_decay,
         warmup_epochs=args.warmup_epochs, max_epochs=args.max_epochs,
-        min_lr=args.min_lr, steps_per_epoch=steps_per_epoch,
+        min_lr=args.min_lr, steps_per_epoch=steps_per_epoch, loss=args.loss,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
     state = task.init(jax.random.key(args.seed), (2, args.image_size, args.image_size, 1))
@@ -169,6 +172,34 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     if is_main:
         path = save_checkpoint(args.checkpoint_dir, jax.device_get(state), int(np.asarray(state.step)))
         print(f"checkpoint → {path}", file=sys.stderr)
+
+    if args.full_res_window and is_main:
+        from medical_image_segmentation_tpu.eval.sliding_window import make_unet_window_fn, sliding_window_predict
+        from medical_image_segmentation_tpu.ops.dice import dice_coefficient, jaccard_index, post_process_masks
+
+        ds = dm.dataset("test")
+        window_fn = make_unet_window_fn(task, jax.device_get(state))
+        mean_a = np.asarray(mean, np.float32)
+        std_a = np.asarray(std, np.float32)
+        dices, ious = [], []
+        for i in range(len(ds)):
+            img, msk = ds[i]
+            x = (img.astype(np.float32) / 255.0 - mean_a) / std_a
+            logits = sliding_window_predict(
+                window_fn, jnp.asarray(x[..., None]), window=args.full_res_window
+            )
+            pred = post_process_masks(logits)
+            dices.append(float(dice_coefficient(pred, jnp.asarray(msk[..., None], jnp.float32))))
+            ious.append(float(jaccard_index(pred, jnp.asarray(msk[..., None], jnp.float32))))
+        if dices:
+            print(
+                f"full-res sliding-window test: dice={np.mean(dices):.4f} iou={np.mean(ious):.4f} "
+                f"({len(dices)} slices, window {args.full_res_window})",
+                file=sys.stderr,
+            )
+            logger.log({"test/full_res_dice": float(np.mean(dices)),
+                        "test/full_res_iou": float(np.mean(ious))},
+                       step=int(np.asarray(state.step)), epoch=args.max_epochs)
 
     if args.predict_grid and is_main:
         loader = dm.loader("test", min(per_host, 16), shard=(0, 1))

@@ -1,0 +1,77 @@
+"""Sliding-window full-res inference tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from medical_image_segmentation_tpu.eval.sliding_window import (
+    _blend_weights,
+    _window_starts,
+    sliding_window_predict,
+)
+
+
+class TestWindows:
+    def test_starts_cover_and_right_align(self):
+        s = _window_starts(100, 32, 16)
+        assert s[0] == 0 and s[-1] == 68
+        assert all(b - a <= 16 for a, b in zip(s, s[1:]))
+
+    def test_small_image_single_window(self):
+        np.testing.assert_array_equal(_window_starts(16, 32, 16), [0])
+
+    def test_blend_positive_and_symmetric(self):
+        w = _blend_weights(32)
+        assert (w > 0).all()
+        np.testing.assert_allclose(w, w[::-1], rtol=1e-6)
+
+
+class TestSlidingWindow:
+    def test_identity_model_reconstructs_image(self):
+        """With a model that echoes its input, blending must reproduce the
+        image exactly (weights cancel)."""
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.normal(size=(70, 90, 1)).astype(np.float32))
+
+        def echo(windows):
+            return windows
+
+        out = sliding_window_predict(echo, img, window=32, stride=16, batch_windows=4)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-4)
+
+    def test_pads_small_images(self):
+        img = jnp.ones((20, 24, 1))
+        out = sliding_window_predict(lambda w: w * 2.0, img, window=32)
+        assert out.shape == (20, 24, 1)
+        np.testing.assert_allclose(np.asarray(out), 2.0, atol=1e-4)
+
+    def test_unet_full_res(self):
+        """Window-trained U-Net evaluated on a larger slice."""
+        from medical_image_segmentation_tpu.eval.sliding_window import make_unet_window_fn
+        from medical_image_segmentation_tpu.train import SegmentationTask
+
+        task = SegmentationTask(arch="resnet18", dtype=jnp.float32)
+        state = task.init(jax.random.key(0), (2, 32, 32, 1))
+        fn = make_unet_window_fn(task, state)
+        img = jnp.zeros((48, 80, 1))
+        logits = sliding_window_predict(fn, img, window=32, batch_windows=4)
+        assert logits.shape == (48, 80, 1)
+        assert np.isfinite(np.asarray(logits)).all()
+
+
+class TestDiceCE:
+    def test_dice_ce_loss_larger_than_dice(self):
+        from medical_image_segmentation_tpu.train import SegmentationTask
+
+        kw = dict(arch="resnet18", dtype=jnp.float32, learning_rate=0.1,
+                  warmup_epochs=0, max_epochs=10, min_lr=0.0)
+        t1 = SegmentationTask(loss="dice", **kw)
+        t2 = SegmentationTask(loss="dice_ce", **kw)
+        s1 = t1.init(jax.random.key(0), (2, 32, 32, 1))
+        s2 = t2.init(jax.random.key(0), (2, 32, 32, 1))
+        rng = np.random.default_rng(1)
+        images = jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32))
+        masks = jnp.asarray((rng.random((2, 32, 32, 1)) > 0.5).astype(np.float32))
+        _, m1 = t1.train_step(s1, images, masks)
+        _, m2 = t2.train_step(s2, images, masks)
+        assert float(m2["train/loss"]) > float(m1["train/loss"])
