@@ -15,6 +15,16 @@ import jax
 import jax.numpy as jnp
 
 
+def _safe_normalize(x: jax.Array, eps: float) -> jax.Array:
+    """L2-normalize with finite gradients everywhere.
+
+    ``x / max(||x||, eps)`` is NaN-gradient at x == 0 (d||x||/dx = x/||x||
+    even though max() selects eps — 0·NaN = NaN); rsqrt(Σx² + eps²) is
+    smooth at the origin and indistinguishable elsewhere."""
+    sq = jnp.sum(x * x, axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(sq + eps * eps)
+
+
 def cosine_similarity_loss(preds: jax.Array, targets: jax.Array, eps: float = 1e-8) -> jax.Array:
     """2 - 2·cosine_similarity, averaged over leading dims.
 
@@ -23,7 +33,7 @@ def cosine_similarity_loss(preds: jax.Array, targets: jax.Array, eps: float = 1e
     """
     preds = preds.astype(jnp.float32)
     targets = jax.lax.stop_gradient(targets.astype(jnp.float32))
-    pn = preds / jnp.maximum(jnp.linalg.norm(preds, axis=-1, keepdims=True), eps)
-    tn = targets / jnp.maximum(jnp.linalg.norm(targets, axis=-1, keepdims=True), eps)
+    pn = _safe_normalize(preds, eps)
+    tn = _safe_normalize(targets, eps)
     cos = jnp.sum(pn * tn, axis=-1)
     return jnp.mean(2.0 - 2.0 * cos)

@@ -157,3 +157,18 @@ class TestSchedules:
         np.testing.assert_allclose(float(sched(1000, 1000)), 1.0, rtol=1e-6)
         mid = float(sched(500, 1000))
         assert 0.99 < mid < 1.0
+
+
+class TestBYOLLossGradSafety:
+    def test_finite_grads_at_zero_predictions(self):
+        """Zero-init predictor bias ⇒ first-step preds can be exactly 0; the
+        loss gradient must stay finite (regression test for a NaN found by
+        the checkpoint roundtrip test)."""
+        from medical_image_segmentation_tpu.ops import cosine_similarity_loss
+
+        zeros = jnp.zeros((4, 8))
+        tgt = jnp.zeros((4, 8))
+        g = jax.grad(lambda p: cosine_similarity_loss(p, tgt))(zeros)
+        assert np.isfinite(np.asarray(g)).all()
+        g2 = jax.grad(lambda p: cosine_similarity_loss(p, jnp.ones((4, 8))))(zeros)
+        assert np.isfinite(np.asarray(g2)).all()

@@ -182,3 +182,29 @@ class TestHandoff:
         # and the result still runs
         logits = unet.apply(new_vars, jnp.zeros((1, 64, 64, 1)), train=False)
         assert logits.shape == (1, 64, 64, 1)
+
+
+class TestCheckpointRoundtrip:
+    def test_byol_state_save_restore(self, tmp_path):
+        from medical_image_segmentation_tpu.core.checkpoint import (
+            latest_step,
+            restore_checkpoint,
+            save_checkpoint,
+        )
+
+        task = BYOLTask(arch="resnet18", low_res=True, hidden_dim=32, proj_dim=8,
+                        num_classes=2, total_steps=10, dtype=jnp.float32)
+        state = task.init(jax.random.key(0), (2, 32, 32, 3))
+        state, _ = task.train_step(state, jnp.zeros((2, 32, 32, 3)), jnp.zeros((2, 32, 32, 3)))
+        path = save_checkpoint(str(tmp_path / "ck"), jax.device_get(state), 1)
+        assert latest_step(str(tmp_path / "ck")) == 1
+
+        fresh = task.init(jax.random.key(1), (2, 32, 32, 3))
+        restored = restore_checkpoint(path, fresh)
+        assert int(np.asarray(restored.step)) == 1
+        a = np.asarray(jax.tree.leaves(state.params)[0])
+        b = np.asarray(jax.tree.leaves(restored.params)[0])
+        np.testing.assert_array_equal(a, b)
+        # restored state trains on
+        restored, m = task.train_step(restored, jnp.zeros((2, 32, 32, 3)), jnp.zeros((2, 32, 32, 3)))
+        assert np.isfinite(float(m["loss"]))

@@ -1,0 +1,77 @@
+"""Host-loader throughput benchmark (BASELINE target: "loader GB/s").
+
+Measures the C++ MIS-store decode path in isolation: mmap + JPEG/PNG/raw
+decode into batch buffers, per thread count, reporting images/s and GB/s of
+decoded pixels. The `/dev/null`-style analogue of the reference's write
+benchmark (`create_subset.py:232-234`) for the read side.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--store", default=None, help="existing store (default: synthesize one)")
+    ap.add_argument("--n_images", type=int, default=2048)
+    ap.add_argument("--image_size", type=int, default=256)
+    ap.add_argument("--codec", default="jpeg", choices=["jpeg", "png", "raw"])
+    ap.add_argument("--batch_size", type=int, default=256)
+    ap.add_argument("--threads", type=int, nargs="+", default=[1, 2, 4, 8])
+    args = ap.parse_args()
+
+    from medical_image_segmentation_tpu.data.store import CODEC_JPEG, CODEC_PNG, CODEC_RAW, StoreWriter
+    from medical_image_segmentation_tpu.data.store.native import NativeStore
+
+    store_path = args.store
+    tmp = None
+    if store_path is None:
+        codec = {"jpeg": CODEC_JPEG, "png": CODEC_PNG, "raw": CODEC_RAW}[args.codec]
+        tmp = tempfile.mkdtemp()
+        store_path = os.path.join(tmp, "bench.mis")
+        rng = np.random.default_rng(0)
+        with StoreWriter(store_path, channels=1) as w:
+            for _ in range(args.n_images):
+                w.add(rng.integers(0, 256, size=(args.image_size, args.image_size, 1)).astype(np.uint8),
+                      codec=codec)
+        print(f"synthetic {args.codec} store: {os.path.getsize(store_path)/1e6:.1f} MB", file=sys.stderr)
+
+    ns = NativeStore(store_path)
+    n = ns.num_samples
+    h, w, c = ns.shape
+    bytes_per_img = h * w * c
+    results = {}
+    for t in args.threads:
+        idxs = np.random.default_rng(1).permutation(n).astype(np.int64)
+        t0 = time.perf_counter()
+        for s in range(0, n - args.batch_size + 1, args.batch_size):
+            ns.fetch(idxs[s : s + args.batch_size], num_threads=t)
+        dt = time.perf_counter() - t0
+        done = (n // args.batch_size) * args.batch_size
+        ips = done / dt
+        gbps = ips * bytes_per_img / 1e9
+        results[t] = (ips, gbps)
+        print(f"threads={t}: {ips:.0f} img/s, {gbps:.3f} GB/s decoded", file=sys.stderr)
+
+    best = max(results.values())
+    print(json.dumps({
+        "metric": "loader_decoded_gbytes_per_sec",
+        "value": round(best[1], 3),
+        "unit": "GB/s",
+        "images_per_sec": round(best[0], 1),
+        "codec": args.codec,
+        "host_cpus": os.cpu_count(),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
