@@ -59,19 +59,26 @@ class BasicBlock(nn.Module):
 
 
 class Bottleneck(nn.Module):
+    """Bottleneck with torchvision's groups/base_width semantics
+    (enables resnext50_32x4d and wide_resnet50_2 by name)."""
+
     filters: int
     strides: int = 1
     conv: ModuleDef = nn.Conv
     norm: ModuleDef = nn.BatchNorm
     expansion: int = 4
+    groups: int = 1
+    base_width: int = 64
 
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = self.conv(self.filters, (1, 1))(x)
+        width = int(self.filters * (self.base_width / 64.0)) * self.groups
+        y = self.conv(width, (1, 1))(x)
         y = self.norm()(y)
         y = nn.relu(y)
-        y = self.conv(self.filters, (3, 3), strides=(self.strides, self.strides), padding=1)(y)
+        y = self.conv(width, (3, 3), strides=(self.strides, self.strides), padding=1,
+                      feature_group_count=self.groups)(y)
         y = self.norm()(y)
         y = nn.relu(y)
         out_ch = self.filters * self.expansion
@@ -83,12 +90,20 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
+from functools import partial as _partial
+
 RESNET_CONFIGS = {
+    # name: (block_cls, stage_sizes, expansion) — torchvision naming
+    # (`byol_pytorch.py:54` instantiates by models.__dict__[arch])
     "resnet18": (BasicBlock, (2, 2, 2, 2), 1),
     "resnet34": (BasicBlock, (3, 4, 6, 3), 1),
     "resnet50": (Bottleneck, (3, 4, 6, 3), 4),
     "resnet101": (Bottleneck, (3, 4, 23, 3), 4),
     "resnet152": (Bottleneck, (3, 8, 36, 3), 4),
+    "resnext50_32x4d": (_partial(Bottleneck, groups=32, base_width=4), (3, 4, 6, 3), 4),
+    "resnext101_32x8d": (_partial(Bottleneck, groups=32, base_width=8), (3, 4, 23, 3), 4),
+    "wide_resnet50_2": (_partial(Bottleneck, base_width=128), (3, 4, 6, 3), 4),
+    "wide_resnet101_2": (_partial(Bottleneck, base_width=128), (3, 4, 23, 3), 4),
 }
 
 

@@ -52,6 +52,10 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     ap.add_argument("--knn_every_epochs", type=int, default=0, help="0 disables the KNN probe")
     ap.add_argument("--probe_loss_weight", type=float, default=1.0)
     ap.add_argument("--limit_steps_per_epoch", type=int, default=0, help="smoke-test cap (0 = full epoch)")
+    ap.add_argument("--run_single_validation", action="store_true",
+                    help="load --checkpoint_path (or latest in --checkpoint_dir) and run one val pass, no training "
+                         "(the working version of the reference's stale scripts/train/val_ssl_pl_test)")
+    ap.add_argument("--checkpoint_path", default=None)
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--fp32", dest="bf16", action="store_false")
     return ap.parse_args(argv)
@@ -115,6 +119,26 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     sample = (2, dm.crop_size, dm.crop_size, dm.channels)
     state = task.init(jax.random.key(args.seed), sample)
     state = jax.device_put(state, replicated(mesh))
+
+    if args.run_single_validation:
+        path = args.checkpoint_path
+        if path is None:
+            step = latest_step(args.checkpoint_dir)
+            if step is None:
+                raise SystemExit(f"no checkpoint in {args.checkpoint_dir}")
+            path = os.path.join(args.checkpoint_dir, str(step))
+        state = restore_checkpoint(path, state)
+        val_loader = dm.val_loader(per_host_batch, num_threads=args.num_workers, shard=(proc, nproc))
+        aggr = {"val/loss": 0.0, "val/acc@1": 0.0, "val/acc@5": 0.0}
+        n_b = 0
+        for imgs, labels in device_put_sharded_batches(val_loader, mesh):
+            m = task.val_step(state, _val_preprocess(imgs, dm), labels)
+            for k in aggr:
+                aggr[k] += float(m[k])
+            n_b += 1
+        aggr = {k: v / max(n_b, 1) for k, v in aggr.items()}
+        print(" ".join(f"{k}={v:.4f}" for k, v in aggr.items()))
+        return 0
 
     start_epoch = 0
     if args.resume:

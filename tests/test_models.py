@@ -101,3 +101,23 @@ class TestBYOLNet:
         }
         emb2 = enc.apply(enc_vars, x, train=False, return_embedding=True)
         np.testing.assert_allclose(np.asarray(emb), np.asarray(emb2), rtol=1e-5, atol=1e-5)
+
+
+class TestExtendedArchs:
+    def test_resnext50_param_count_matches_torchvision(self):
+        model = make_resnet("resnext50_32x4d", dtype=jnp.float32)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+        # torchvision resnext50_32x4d: 25,028,904 incl. 2,049,000-param fc
+        assert _n_params(variables["params"]) == 25_028_904 - 2_049_000
+
+    def test_wide_resnet50_param_count_matches_torchvision(self):
+        model = make_resnet("wide_resnet50_2", dtype=jnp.float32)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+        # torchvision wide_resnet50_2: 68,883,240 incl. fc
+        assert _n_params(variables["params"]) == 68_883_240 - 2_049_000
+
+    def test_unknown_arch_lists_options(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="resnext50_32x4d"):
+            make_resnet("resnet9000")
