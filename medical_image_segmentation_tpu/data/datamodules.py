@@ -167,6 +167,9 @@ class DecathlonDataModule:
     image_size: int = 224
     mean: Tuple[float, ...] = (0.5,)
     std: Tuple[float, ...] = (0.5,)
+    store_prefix: str = ""   # set to use pre-built paired MIS stores
+    #   (ingest/create_seg_store.py) — C++ decode path instead of per-epoch
+    #   PNG decode
 
     def dataset(self, split: str):
         from medical_image_segmentation_tpu.data.decathlon import DecathlonDataset
@@ -175,6 +178,18 @@ class DecathlonDataModule:
 
     def loader(self, split: str, batch_size: int, seed: int = 0,
                shard: Tuple[int, int] = (0, 1), num_threads: int = 4):
+        if self.store_prefix:
+            img_store = f"{self.store_prefix}_{split}_images.mis"
+            msk_store = f"{self.store_prefix}_{split}_masks.mis"
+            if os.path.exists(img_store) and os.path.exists(msk_store):
+                from medical_image_segmentation_tpu.data.loader import RANDOM, SEQUENTIAL, PairedLoader
+
+                return PairedLoader(
+                    img_store, msk_store, batch_size,
+                    order=RANDOM if split == "train" else SEQUENTIAL,
+                    num_threads=num_threads, seed=seed,
+                    drop_last=(split == "train"), shard=shard,
+                )
         from medical_image_segmentation_tpu.data.decathlon import DecathlonLoader
 
         return DecathlonLoader(

@@ -214,3 +214,78 @@ def device_put_sharded_batches(loader, mesh=None, axis: str = "data"):
         yield pending
         pending = nxt
     yield pending
+
+
+class PairedLoader:
+    """Two aligned stores (e.g. images + masks) sampled with ONE order so
+    pairs stay matched — the store-backed fast path for segmentation
+    (created by `ingest/create_seg_store.py`)."""
+
+    def __init__(
+        self,
+        image_store: str,
+        mask_store: str,
+        batch_size: int,
+        order: str = RANDOM,
+        num_threads: int = 4,
+        seed: int = 0,
+        drop_last: bool = True,
+        shard: Tuple[int, int] = (0, 1),
+        prefetch: int = 2,
+        use_native: bool = True,
+    ):
+        self._imgs = Loader(image_store, batch_size, order=order, num_threads=num_threads,
+                            seed=seed, drop_last=drop_last, shard=shard, prefetch=0,
+                            use_native=use_native)
+        self._msks = Loader(mask_store, batch_size, order=order, num_threads=num_threads,
+                            seed=seed, drop_last=drop_last, shard=shard, prefetch=0,
+                            use_native=use_native)
+        if self._imgs._n_total != self._msks._n_total:
+            raise ValueError(
+                f"store size mismatch: {self._imgs._n_total} images vs {self._msks._n_total} masks"
+            )
+        self.batch_size = batch_size
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return len(self._imgs)
+
+    def _pairs(self):
+        # one index stream drives both stores (same seed/epoch → same order,
+        # but we fetch by explicit indices to be immune to loader drift)
+        for idxs in self._imgs._batches():
+            imgs, _ = self._imgs._fetch(idxs)
+            msks, _ = self._msks._fetch(idxs)
+            yield imgs, msks.astype(np.float32)
+        self._msks.epoch = self._imgs.epoch
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            yield from self._pairs()
+            return
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+
+        def producer():
+            try:
+                for item in self._pairs():
+                    q.put(item)
+            except BaseException as e:
+                q.put(e)
+            finally:
+                q.put(None)
+
+        threading.Thread(target=producer, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    def close(self):
+        self._imgs.close()
+        self._msks.close()

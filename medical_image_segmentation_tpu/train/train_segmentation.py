@@ -48,6 +48,8 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
                     help="orbax BYOL checkpoint to initialize the U-Net encoder from")
     ap.add_argument("--predict_grid", default=None, help="path for a pred/truth overlay grid PNG")
     ap.add_argument("--loss", default="dice", choices=["dice", "dice_ce"])
+    ap.add_argument("--seg_store_prefix", default="",
+                    help="paired MIS store prefix from create_seg_store.py (C++ loader fast path)")
     ap.add_argument("--full_res_window", type=int, default=0,
                     help=">0: also evaluate test slices at native resolution via sliding-window blending")
     ap.add_argument("--limit_steps_per_epoch", type=int, default=0)
@@ -82,6 +84,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     dm = get_datamodule(args.dataset)(
         images_dir=args.images_dir, masks_dir=args.masks_dir,
         split_file=args.split_file, image_size=args.image_size,
+        store_prefix=args.seg_store_prefix,
     )
     per_host = args.batch_size // nproc
     train_loader = dm.loader("train", per_host, seed=args.seed, shard=(proc, nproc),

@@ -195,3 +195,76 @@ class TestLoader:
         loader._fetch = lambda idxs: (_ for _ in ()).throw(RuntimeError("decode boom"))
         with pytest.raises(RuntimeError, match="decode boom"):
             list(loader)
+
+
+class TestPairedLoader:
+    def test_pairs_stay_aligned_under_shuffle(self, tmp_path):
+        from medical_image_segmentation_tpu.data.loader import PairedLoader
+
+        rng = np.random.default_rng(7)
+        # image i = constant i; mask i = constant i as well → alignment check
+        with StoreWriter(str(tmp_path / "i.mis"), channels=1) as wi, \
+             StoreWriter(str(tmp_path / "m.mis"), channels=1) as wm:
+            for i in range(24):
+                wi.add(np.full((8, 8, 1), i, np.uint8))
+                wm.add(np.full((8, 8, 1), i, np.uint8))
+        loader = PairedLoader(str(tmp_path / "i.mis"), str(tmp_path / "m.mis"),
+                              batch_size=8, order=RANDOM, use_native=False, prefetch=0)
+        seen = 0
+        for imgs, msks in loader:
+            np.testing.assert_array_equal(imgs.astype(np.float32), msks)
+            seen += len(imgs)
+        assert seen == 24
+
+    def test_create_seg_store_end_to_end(self, tmp_path):
+        import cv2
+
+        from medical_image_segmentation_tpu.data.ingest.create_seg_store import build_seg_stores
+        from medical_image_segmentation_tpu.data.loader import PairedLoader
+
+        img_dir = tmp_path / "imgs"
+        msk_dir = tmp_path / "msks"
+        img_dir.mkdir()
+        msk_dir.mkdir()
+        rng = np.random.default_rng(8)
+        for v in range(3):
+            for s in range(4):
+                name = f"la_{v:03d}_{s}.png"
+                cv2.imwrite(str(img_dir / name), rng.integers(0, 255, (40, 40)).astype(np.uint8))
+                cv2.imwrite(str(msk_dir / name), (rng.random((40, 40)) > 0.5).astype(np.uint8) * 255)
+        counts = build_seg_stores(str(img_dir), str(msk_dir), str(tmp_path / "seg"),
+                                  split_file=None, image_size=32)
+        assert counts == {"train": 12}
+        loader = PairedLoader(str(tmp_path / "seg_train_images.mis"),
+                              str(tmp_path / "seg_train_masks.mis"),
+                              batch_size=4, use_native=False, prefetch=0)
+        imgs, msks = next(iter(loader))
+        assert imgs.shape == (4, 32, 32, 1)
+        assert set(np.unique(msks)) <= {0.0, 1.0}
+
+    def test_datamodule_dispatches_to_paired_stores(self, tmp_path):
+        import cv2
+
+        from medical_image_segmentation_tpu.data.datamodules import get_datamodule
+        from medical_image_segmentation_tpu.data.ingest.create_seg_store import build_seg_stores
+        from medical_image_segmentation_tpu.data.loader import PairedLoader
+
+        img_dir = tmp_path / "imgs"
+        msk_dir = tmp_path / "msks"
+        img_dir.mkdir()
+        msk_dir.mkdir()
+        rng = np.random.default_rng(9)
+        for v in range(2):
+            for s in range(4):
+                name = f"la_{v:03d}_{s}.png"
+                cv2.imwrite(str(img_dir / name), rng.integers(0, 255, (32, 32)).astype(np.uint8))
+                cv2.imwrite(str(msk_dir / name), (rng.random((32, 32)) > 0.5).astype(np.uint8) * 255)
+        build_seg_stores(str(img_dir), str(msk_dir), str(tmp_path / "seg"), image_size=32)
+        dm = get_datamodule("DECATHLON_HEART")(
+            images_dir=str(img_dir), masks_dir=str(msk_dir),
+            image_size=32, store_prefix=str(tmp_path / "seg"),
+        )
+        loader = dm.loader("train", batch_size=4)
+        assert isinstance(loader, PairedLoader)
+        imgs, msks = next(iter(loader))
+        assert imgs.shape == (4, 32, 32, 1) and msks.shape == (4, 32, 32, 1)
