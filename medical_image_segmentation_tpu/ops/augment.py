@@ -151,8 +151,18 @@ class ViewConfig:
 
 # Canonical two-view configs (BYOL asymmetry: solarize only on view 2,
 # blur strong on view 1 — reference lightning_module.py:55-60, 86-88).
+# FFCV-pipeline parity (the reference's canonical SSL path): no blur/jitter.
 BYOL_VIEW1 = ViewConfig(solarize_prob=0.0)
 BYOL_VIEW2 = ViewConfig(solarize_prob=0.2)
+
+# torchvision-pipeline parity (reference BYOLRGBDataTransforms,
+# lightning_module.py:39-64): ColorJitter(0.4,0.4,0.2)@p=0.8,
+# GaussianBlur(k=23)@(1.0, 0.1), Solarize@(0.0, 0.2). Routes to the XLA
+# augmentation path (the fused Pallas kernel covers the blur-free configs).
+BYOL_TV_VIEW1 = ViewConfig(blur_prob=1.0, jitter_prob=0.8, brightness=0.4, contrast=0.4,
+                           saturation=0.2, solarize_prob=0.0)
+BYOL_TV_VIEW2 = ViewConfig(blur_prob=0.1, jitter_prob=0.8, brightness=0.4, contrast=0.4,
+                           saturation=0.2, solarize_prob=0.2)
 
 
 def _blur_matrix(rng: jax.Array, batch: int, dim: int, kernel: int, prob: float, dtype) -> jax.Array:
