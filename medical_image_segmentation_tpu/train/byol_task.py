@@ -155,12 +155,16 @@ class BYOLTask:
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
-        # EMA: tau·target + (1-tau)·online_encoder (byol_pytorch.py:253-257),
-        # tau on a cosine schedule (byol_pytorch.py:258-263).
+        # EMA: tau·target + (1-tau)·online_encoder over PARAMETERS only
+        # (reference momentum_update iterates .parameters(),
+        # byol_pytorch.py:292-296); the momentum encoder's BN running stats
+        # evolve solely from its own train-mode forwards (tgt_mut above).
+        # tau follows the cosine schedule (byol_pytorch.py:258-263).
         tau = self.ema_schedule(state.step, self.total_steps)
-        ema = lambda t, o: jax.tree.map(lambda a, b: tau * a + (1.0 - tau) * b, t, o)
-        new_target_params = ema(state.target_params, new_params["encoder"])
-        new_target_bs = ema(tgt_mut["batch_stats"], new_bs["encoder"])
+        new_target_params = jax.tree.map(
+            lambda a, b: tau * a + (1.0 - tau) * b, state.target_params, new_params["encoder"]
+        )
+        new_target_bs = tgt_mut["batch_stats"]
 
         metrics = {
             "loss": contrastive,

@@ -208,3 +208,28 @@ class TestCheckpointRoundtrip:
         # restored state trains on
         restored, m = task.train_step(restored, jnp.zeros((2, 32, 32, 3)), jnp.zeros((2, 32, 32, 3)))
         assert np.isfinite(float(m["loss"]))
+
+
+class TestEMASemantics:
+    def test_target_bn_stats_not_mixed_with_online(self):
+        """The reference EMAs parameters only (byol_pytorch.py:292-296);
+        target BN running stats must come from the target's own forward,
+        not be blended with the online encoder's stats."""
+        task = BYOLTask(arch="resnet18", low_res=True, hidden_dim=32, proj_dim=8,
+                        num_classes=2, total_steps=10, dtype=jnp.float32,
+                        base_ema_momentum=0.9)
+        state = task.init(jax.random.key(0), (2, 32, 32, 3))
+        rng = np.random.default_rng(0)
+        v1 = jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32))
+        v2 = jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32))
+
+        # expected target BN stats: apply the target encoder alone
+        (z, _), tgt_mut = task.target_encoder.apply(
+            {"params": state.target_params, "batch_stats": state.target_batch_stats},
+            jnp.concatenate([v2, v1], 0), train=True, mutable=["batch_stats"],
+        )
+        expected = jax.tree.leaves(tgt_mut["batch_stats"])[0]
+
+        new_state, _ = task.train_step(state, v1, v2)
+        got = jax.tree.leaves(new_state.target_batch_stats)[0]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-5, atol=1e-6)
