@@ -132,3 +132,70 @@ class TestNifti:
         open(p, "wb").write(b"\x00" * 400)
         with pytest.raises(ValueError):
             read_nifti(p)
+
+
+class TestDicomRobustness:
+    """The subset scan walks ~1M untrusted files; the parser must fail with
+    DicomError/ValueError (caught per-file by the ingest harness), never
+    hang or crash the process."""
+
+    def _parse(self, raw):
+        import io
+
+        from medical_image_segmentation_tpu.data.dicom import read_dicom
+
+        return read_dicom(io.BytesIO(raw))
+
+    def test_truncated_everywhere(self, tmp_path):
+        arr = np.arange(64, dtype=np.uint16).reshape(8, 8)
+        p = str(tmp_path / "t.dcm")
+        write_dicom(p, arr)
+        raw = open(p, "rb").read()
+        for cut in [0, 10, 131, 133, 140, len(raw) // 2, len(raw) - 3]:
+            try:
+                self._parse(raw[:cut])
+            except Exception as e:
+                assert isinstance(e, (ValueError, EOFError, struct.error)), f"cut={cut}: {type(e)}"
+
+    def test_random_garbage(self):
+        rng = np.random.default_rng(0)
+        for n in [0, 1, 132, 500, 5000]:
+            raw = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+            try:
+                d = self._parse(raw)
+                _ = d.elements  # parsed as bare dataset — fine if no crash
+            except Exception as e:
+                assert isinstance(e, (ValueError, struct.error)), f"n={n}: {type(e)}"
+
+    def test_bitflipped_valid_file(self, tmp_path):
+        arr = np.arange(256, dtype=np.uint16).reshape(16, 16)
+        p = str(tmp_path / "b.dcm")
+        write_dicom(p, arr)
+        raw = bytearray(open(p, "rb").read())
+        rng = np.random.default_rng(1)
+        for _ in range(200):
+            mutated = bytearray(raw)
+            i = rng.integers(132, len(raw))
+            mutated[i] ^= 1 << rng.integers(0, 8)
+            try:
+                self._parse(bytes(mutated))
+            except Exception as e:
+                assert isinstance(e, (ValueError, struct.error, MemoryError)), type(e)
+
+    def test_huge_declared_length_truncates_cleanly(self, tmp_path):
+        """An element declaring a 4GB length must raise, not allocate."""
+        import struct as st
+
+        meta = b"\x00" * 128 + b"DICM"
+        ts = b"1.2.840.10008.1.2.1\x00"
+        # UI is a short-form VR: 2-byte length, no reserved bytes
+        meta += st.pack("<HH2sH", 2, 0x10, b"UI", len(ts)) + ts
+        body = st.pack("<HH2sHI", 0x7FE0, 0x0010, b"OW", 0, 0xFFFFFFF0) + b"\x00" * 10
+        try:
+            self._parse(meta + body)
+            assert False, "expected failure"
+        except Exception as e:
+            assert isinstance(e, (ValueError, struct.error, MemoryError))
+
+
+import struct  # noqa: E402  (used by robustness tests)
