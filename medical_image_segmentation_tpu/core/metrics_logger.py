@@ -30,22 +30,30 @@ class CSVMetricsLogger:
         self.path = os.path.join(self.dir, "metrics.csv")
         self._rows = []
         self._keys = []
+        self._appended = 0  # rows already on disk under the current header
 
     def log(self, metrics: Dict[str, float], step: int, epoch: Optional[int] = None):
         row = {k: float(v) for k, v in metrics.items()}
         row["step"] = step
         if epoch is not None:
             row["epoch"] = epoch
-        for k in row:
-            if k not in self._keys:
-                self._keys.append(k)
+        new_keys = [k for k in row if k not in self._keys]
+        self._keys.extend(new_keys)
         self._rows.append(row)
-        self._flush()
+        self._flush(rewrite=bool(new_keys))
 
-    def _flush(self):
-        tmp = self.path + ".tmp"
-        with open(tmp, "w", newline="") as f:
-            writer = csv.DictWriter(f, fieldnames=self._keys)
-            writer.writeheader()
-            writer.writerows(self._rows)
-        os.replace(tmp, self.path)
+    def _flush(self, rewrite: bool):
+        """Append rows under a stable header; rewrite the file only when a
+        new metric key appears (keeps per-step logging O(1), not O(steps))."""
+        if rewrite or self._appended == 0:
+            tmp = self.path + ".tmp"
+            with open(tmp, "w", newline="") as f:
+                writer = csv.DictWriter(f, fieldnames=self._keys)
+                writer.writeheader()
+                writer.writerows(self._rows)
+            os.replace(tmp, self.path)
+        else:
+            with open(self.path, "a", newline="") as f:
+                writer = csv.DictWriter(f, fieldnames=self._keys)
+                writer.writerows(self._rows[self._appended:])
+        self._appended = len(self._rows)

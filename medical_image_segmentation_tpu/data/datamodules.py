@@ -45,6 +45,9 @@ class SSLDataModule:
     channels: int = 1
     crop_size: int = 112
     low_res: bool = False
+    has_train_labels: bool = True   # False: probe CE skipped during pretrain
+    #   (RADIOLOGY_1M train store is unlabeled; its NUM_CLASSES describes the
+    #   NIH val set — reference lightning_module.py:193-272)
     # normalization stats on the 0-255 scale (reference stores FFCV
     # NormalizeImage(mean*255, std*255), lightning_module.py:89-91)
     train_mean: Tuple[float, ...] = (57.9764,)
@@ -91,6 +94,7 @@ class Radiology1MDataModule(SSLDataModule):
     val = NIH chest-x-ray test beton μ=126.5758 σ=63.4649, 10 classes)."""
 
     def __init__(self, **kw):
+        kw.setdefault("has_train_labels", False)
         kw.setdefault("train_store", _env("RADIOLOGY_1M_TRAIN_STORE", "data/stores/radiology_1M_train.mis"))
         kw.setdefault("val_store", _env("RADIOLOGY_1M_VAL_STORE", "data/stores/nih_chest_xray_test.mis"))
         super().__init__(**kw)

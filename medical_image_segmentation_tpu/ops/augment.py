@@ -289,7 +289,7 @@ def segmentation_augment(
     n_x = _nearest_matrix(zeros, full_w, in_w, out_w, dtype)
 
     if train:
-        kh, kv, kb, kc, kon = jax.random.split(rng, 5)
+        kh, kv, kb, kc = jax.random.split(rng, 4)
         hflip = jax.random.uniform(kh, (b,)) < 0.5
         vflip = jax.random.uniform(kv, (b,)) < 0.5
         r_x = _flip_cols(r_x, hflip)
@@ -302,13 +302,13 @@ def segmentation_augment(
     msk = (msk > 0.5).astype(jnp.float32)
 
     if train:
-        on = (jax.random.uniform(kon, (b, 1, 1, 1)) < 1.0).astype(jnp.float32)
+        # ColorJitter(0.2, 0.2), always applied at train time — reference
+        # DecathlonDataModule train transform (`lightning_module.py:686-691`)
         fb = jax.random.uniform(kb, (b, 1, 1, 1), minval=0.8, maxval=1.2)
         img = jnp.clip(img * fb, 0.0, 1.0)
         fc = jax.random.uniform(kc, (b, 1, 1, 1), minval=0.8, maxval=1.2)
         m = jnp.mean(img, axis=(1, 2, 3), keepdims=True)
         img = jnp.clip(m + fc * (img - m), 0.0, 1.0)
-        del on
 
     mean_a = jnp.asarray(mean, jnp.float32).reshape(1, 1, 1, -1)
     std_a = jnp.asarray(std, jnp.float32).reshape(1, 1, 1, -1)

@@ -161,8 +161,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         and cfg1.jitter_prob == 0.0 and cfg2.jitter_prob == 0.0
     )
 
+    has_labels = getattr(dm, "has_train_labels", True)
+
     @jax.jit
     def train_step(state, imgs, labels, key):
+        labels = labels if has_labels else None
         if use_pallas:
             v1, v2 = pallas_two_view_augment(key, imgs, cfg1, cfg2, mean=mean, std=std, dtype=dtype)
         else:

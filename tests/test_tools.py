@@ -115,3 +115,20 @@ class TestProfiling:
             pass
         assert t.counts["a"] == 2
         assert "a:" in t.report()
+
+
+class TestMetricsLogger:
+    def test_append_mode_and_header_rewrite(self, tmp_path):
+        import csv as _csv
+
+        from medical_image_segmentation_tpu.core.metrics_logger import CSVMetricsLogger
+
+        lg = CSVMetricsLogger(str(tmp_path), version=0)
+        for i in range(5):
+            lg.log({"loss": 1.0 / (i + 1)}, step=i, epoch=0)
+        lg.log({"loss": 0.1, "val/acc@1": 0.5}, step=5, epoch=1)  # new key → rewrite
+        lg.log({"val/acc@1": 0.6}, step=6, epoch=1)               # append again
+        rows = list(_csv.DictReader(open(lg.path)))
+        assert len(rows) == 7
+        assert rows[0]["loss"] == "1.0" and rows[0]["val/acc@1"] == ""
+        assert rows[6]["val/acc@1"] == "0.6"
