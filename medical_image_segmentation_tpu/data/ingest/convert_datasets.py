@@ -41,7 +41,7 @@ class _CifarArrays:
 def main(argv: Optional[Sequence[str]] = None) -> int:
     ap = argparse.ArgumentParser(description="Convert datasets to MIS stores")
     ap.add_argument("--dataset", required=True,
-                    choices=["cifar10", "cifar100", "nih_chest_x_ray", "radiology_1M"])
+                    choices=["cifar10", "cifar100", "nih_chest_x_ray", "radiology_1M", "imagefolder"])
     ap.add_argument("--data_root", required=True, help="dataset root (torchvision root / image dir)")
     ap.add_argument("--csv_path", default=None, help="NIH manifest CSV")
     ap.add_argument("--output_dir", required=True)
@@ -72,6 +72,41 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         n = write_store_from_dataset(out, ds, channels=1, codec=codec,
                                      max_resolution=args.max_resolution)
         print(f"{n} → {out} ({ds.num_classes} classes)", file=sys.stderr)
+    elif args.dataset == "imagefolder":
+        # torchvision-ImageFolder layout: <root>/<class_name>/*.png|jpg —
+        # the reference's IMAGENET datamodule source (lightning_module.py:379-449)
+        import cv2
+
+        classes = sorted(d for d in os.listdir(args.data_root)
+                         if os.path.isdir(os.path.join(args.data_root, d)))
+        index = {c: i for i, c in enumerate(classes)}
+
+        class FolderDS:
+            def __init__(self):
+                self.items = []
+                for c in classes:
+                    d = os.path.join(args.data_root, c)
+                    for f in sorted(os.listdir(d)):
+                        if f.lower().endswith((".png", ".jpg", ".jpeg")):
+                            self.items.append((os.path.join(d, f), index[c]))
+                if args.limit:
+                    self.items = self.items[: args.limit]
+
+            def __len__(self):
+                return len(self.items)
+
+            def __getitem__(self, i):
+                path, label = self.items[i]
+                img = cv2.imread(path, cv2.IMREAD_COLOR)
+                if img is None:
+                    raise IOError(path)
+                return cv2.cvtColor(img, cv2.COLOR_BGR2RGB), label
+
+        ds = FolderDS()
+        out = os.path.join(args.output_dir, f"imagefolder_{res}_train.mis")
+        n = write_store_from_dataset(out, ds, channels=3, codec=codec,
+                                     max_resolution=args.max_resolution)
+        print(f"{n} → {out} ({len(classes)} classes)", file=sys.stderr)
     else:  # radiology_1M
         from medical_image_segmentation_tpu.data.datasets import Radiology1MDataset
 

@@ -175,6 +175,25 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     logger = CSVMetricsLogger(args.log_dir) if is_main else None
     key = jax.random.key(args.seed + 1)
 
+    # preemption safety: on SIGTERM/SIGINT finish the current step, write a
+    # checkpoint, and exit cleanly (resume with --resume). TPU pods get
+    # preempted; the reference relied on Lightning defaults (SURVEY §5.4).
+    import signal
+
+    stop_requested = {"flag": False}
+
+    def _request_stop(signum, frame):
+        stop_requested["flag"] = True
+        print(f"signal {signum}: will checkpoint and exit after this step", file=sys.stderr)
+
+    signal.signal(signal.SIGTERM, _request_stop)
+    signal.signal(signal.SIGINT, _request_stop)
+
+    def _checkpoint():
+        if is_main:
+            path = save_checkpoint(args.checkpoint_dir, jax.device_get(state), int(np.asarray(state.step)))
+            print(f"checkpoint → {path}", file=sys.stderr)
+
     for epoch in range(start_epoch, args.max_epochs):
         t0 = time.time()
         n_imgs = 0
@@ -185,6 +204,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             key = jax.random.fold_in(key, 1)
             state, metrics = train_step(state, imgs, labels, key)
             n_imgs += args.batch_size
+            if stop_requested["flag"]:
+                _checkpoint()
+                return 0
             if logger and (i % 50 == 0):
                 logger.log({k: float(v) for k, v in metrics.items()}, step=int(np.asarray(state.step)), epoch=epoch)
         if metrics:
@@ -235,9 +257,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             except FileNotFoundError:
                 pass
 
-        if is_main and args.checkpoint_every_epochs and (epoch + 1) % args.checkpoint_every_epochs == 0:
-            path = save_checkpoint(args.checkpoint_dir, jax.device_get(state), int(np.asarray(state.step)))
-            print(f"checkpoint → {path}", file=sys.stderr)
+        if args.checkpoint_every_epochs and (epoch + 1) % args.checkpoint_every_epochs == 0:
+            _checkpoint()
 
     return 0
 
