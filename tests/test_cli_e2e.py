@@ -81,6 +81,27 @@ def test_full_pipeline(workspace, monkeypatch):
     assert steps, "SSL checkpoint missing"
     ssl_ckpt = os.path.join(ckpt_dir, max(steps, key=int))
 
+    # 4b. resume: a second run with --resume continues from the checkpoint
+    assert train_ssl.main([
+        "--dataset", "RADIOLOGY_1M", "--batch_size", "8", "--max_epochs", "2",
+        "--hidden_dim", "64", "--projection_dim", "16",
+        "--limit_steps_per_epoch", "2", "--num_workers", "1",
+        "--checkpoint_dir", ckpt_dir, "--log_dir", str(ws / "logs"), "--fp32",
+        "--resume",
+    ]) == 0
+    steps2 = sorted(int(d) for d in os.listdir(ckpt_dir) if d.isdigit())
+    assert steps2[-1] > int(max(steps, key=int)), "resume did not advance the step counter"
+
+    # 4c. single-validation mode errors cleanly when the val store is absent
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        train_ssl.main([
+            "--dataset", "RADIOLOGY_1M", "--batch_size", "8", "--num_workers", "1",
+            "--hidden_dim", "64", "--projection_dim", "16",
+            "--checkpoint_dir", ckpt_dir, "--run_single_validation", "--fp32",
+        ])
+
     # 5. slice Decathlon + splits
     img_out = str(ws / "slices" / "images")
     msk_out = str(ws / "slices" / "masks")
