@@ -70,6 +70,12 @@ class UNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        h, w = x.shape[1], x.shape[2]
+        if h % 32 or w % 32:
+            raise ValueError(
+                f"U-Net input H/W must be divisible by 32 (5 down/upsample stages); got {h}x{w}. "
+                f"Resize or pad the batch (e.g. segmentation_augment out_size)."
+            )
         block_cls, stages, expansion = RESNET_CONFIGS[self.arch]
         encoder = ResNet(
             block_cls=block_cls,

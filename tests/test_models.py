@@ -121,3 +121,12 @@ class TestExtendedArchs:
 
         with pytest.raises(ValueError, match="resnext50_32x4d"):
             make_resnet("resnet9000")
+
+
+class TestUNetInputValidation:
+    def test_clear_error_on_bad_size(self):
+        import pytest
+
+        model = UNet(arch="resnet18", dtype=jnp.float32)
+        with pytest.raises(ValueError, match="divisible by 32"):
+            model.init(jax.random.key(0), jnp.zeros((1, 50, 50, 1)))
