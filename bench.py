@@ -56,7 +56,9 @@ def main():
     cfg1 = dataclasses.replace(BYOL_VIEW1, out_size=(args.crop_size, args.crop_size))
     cfg2 = dataclasses.replace(BYOL_VIEW2, out_size=(args.crop_size, args.crop_size))
 
-    @jax.jit
+    from functools import partial as _partial
+
+    @_partial(jax.jit, donate_argnums=0)
     def step(state, raw, key):
         v1, v2 = pallas_two_view_augment(key, raw, cfg1, cfg2)
         return task.train_step(state, v1, v2)

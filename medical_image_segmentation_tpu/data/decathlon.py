@@ -115,35 +115,20 @@ class DecathlonLoader:
     def _index_batches(self):
         shard_id, num_shards = self.shard
         mine = np.arange(shard_id, len(self.ds), num_shards, dtype=np.int64)
+        epoch = self.epoch
+        self.epoch += 1  # up front: early break must not repeat the epoch
         if self.shuffle:
-            rng = np.random.default_rng(np.random.SeedSequence([self.seed, self.epoch]))
+            rng = np.random.default_rng(np.random.SeedSequence([self.seed, epoch]))
             rng.shuffle(mine)
         end = len(mine) - (len(mine) % self.batch_size) if self.drop_last else len(mine)
         for s in range(0, end, self.batch_size):
             yield mine[s : s + self.batch_size]
-        self.epoch += 1
 
     def __iter__(self):
-        if self.prefetch <= 0:
+        from medical_image_segmentation_tpu.data.loader import prefetch_iter
+
+        def gen():
             for idxs in self._index_batches():
                 yield self._load_batch(idxs)
-            return
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
 
-        def producer():
-            try:
-                for idxs in self._index_batches():
-                    q.put(self._load_batch(idxs))
-            except BaseException as e:
-                q.put(e)
-            finally:
-                q.put(None)
-
-        threading.Thread(target=producer, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        yield from prefetch_iter(gen, self.prefetch)

@@ -32,6 +32,65 @@ RANDOM = "random"
 QUASI_RANDOM = "quasi_random"
 
 
+def prefetch_iter(make_items, prefetch: int):
+    """Run ``make_items()`` (a generator) on a background thread with a
+    bounded queue. Exceptions propagate to the consumer; abandoning the
+    iterator early unblocks and stops the producer (no leaked threads)."""
+    if prefetch <= 0:
+        yield from make_items()
+        return
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def producer():
+        try:
+            for item in make_items():
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.25)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+        except BaseException as e:  # surface worker errors to the consumer
+            while not stop.is_set():
+                try:
+                    q.put(e, timeout=0.25)
+                    break
+                except queue.Full:
+                    continue
+        finally:
+            # the end sentinel MUST reach the consumer (a dropped sentinel
+            # deadlocks q.get()); block with timeout until delivered or the
+            # consumer has already gone away
+            while not stop.is_set():
+                try:
+                    q.put(None, timeout=0.25)
+                    break
+                except queue.Full:
+                    continue
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        # drain so a producer blocked in put() can observe stop and exit
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+
+
 def make_order(
     n: int,
     mode: str,
@@ -140,44 +199,22 @@ class Loader:
 
     def _batches(self) -> Iterator[np.ndarray]:
         mine = self._shard_indices()
-        order = make_order(len(mine), self.order_mode, self.seed, self.epoch)
+        # advance the epoch counter up front so an early break (e.g.
+        # --limit_steps_per_epoch) still gets a fresh permutation next time
+        epoch = self.epoch
+        self.epoch += 1
+        order = make_order(len(mine), self.order_mode, self.seed, epoch)
         mine = mine[order]
         end = len(mine) - (len(mine) % self.batch_size) if self.drop_last else len(mine)
         for s in range(0, end, self.batch_size):
             yield mine[s : s + self.batch_size]
-        self.epoch += 1
 
     def __iter__(self):
-        if self.prefetch <= 0:
+        def gen():
             for idxs in self._batches():
                 yield self._fetch(idxs)
-            return
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
 
-        def producer():
-            try:
-                for idxs in self._batches():
-                    if stop.is_set():
-                        return
-                    q.put(self._fetch(idxs))
-            except BaseException as e:  # surface worker errors to the consumer
-                q.put(e)
-            finally:
-                q.put(None)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is None:
-                    break
-                if isinstance(item, BaseException):
-                    raise item
-                yield item
-        finally:
-            stop.set()
+        yield from prefetch_iter(gen, self.prefetch)
 
     def close(self):
         if self._native is not None:
@@ -190,19 +227,18 @@ def device_put_sharded_batches(loader, mesh=None, axis: str = "data"):
     """Wrap a host loader into an iterator of device arrays, double-buffered:
     batch t+1 is transferred while batch t computes (the ToDevice
     (non_blocking) analogue of the reference pipeline,
-    `lightning_module.py:92-95`)."""
+    `lightning_module.py:92-95`). Multi-host aware: per-host shards are
+    assembled into global arrays (see `parallel.mesh.shard_batch`)."""
     import jax
 
-    from medical_image_segmentation_tpu.parallel.mesh import data_sharding
+    from medical_image_segmentation_tpu.parallel.mesh import shard_batch
 
     def put(batch):
         imgs, labels = batch
         if mesh is None:
             return jax.device_put(imgs), jax.device_put(labels)
-        return (
-            jax.device_put(imgs, data_sharding(mesh, imgs.ndim, axis)),
-            jax.device_put(labels, data_sharding(mesh, labels.ndim, axis)),
-        )
+        out = shard_batch(mesh, {"i": imgs, "l": labels}, axis)
+        return out["i"], out["l"]
 
     it = iter(loader)
     try:
@@ -260,31 +296,7 @@ class PairedLoader:
         self._msks.epoch = self._imgs.epoch
 
     def __iter__(self):
-        if self.prefetch <= 0:
-            yield from self._pairs()
-            return
-        import queue
-        import threading
-
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-
-        def producer():
-            try:
-                for item in self._pairs():
-                    q.put(item)
-            except BaseException as e:
-                q.put(e)
-            finally:
-                q.put(None)
-
-        threading.Thread(target=producer, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        yield from prefetch_iter(self._pairs, self.prefetch)
 
     def close(self):
         self._imgs.close()

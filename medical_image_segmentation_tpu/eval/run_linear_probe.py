@@ -40,6 +40,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     from medical_image_segmentation_tpu.train.train_ssl import _val_preprocess
 
     dm = get_datamodule(args.dataset)()
+    if not getattr(dm, "has_train_labels", True):
+        raise SystemExit(
+            f"dataset {args.dataset} has an unlabeled train store — a linear probe "
+            f"fit on constant labels would report a meaningless accuracy. Use a "
+            f"labeled dataset (CIFAR10/CIFAR100/IMAGENET) or the KNN probe on a labeled val set."
+        )
     task = BYOLTask(
         arch=args.arch, in_channels=dm.channels, low_res=dm.low_res,
         hidden_dim=args.hidden_dim, proj_dim=args.projection_dim, num_classes=dm.NUM_CLASSES,

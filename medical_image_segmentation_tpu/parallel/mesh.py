@@ -28,17 +28,31 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+_DISTRIBUTED_DONE = False
+
+
 def initialize_distributed() -> None:
     """Initialize multi-host JAX if running under a multi-host launcher.
 
     No-op on a single host. Honors standard TPU-pod env and the SLURM env
     contract the reference uses (SLURM_NTASKS/SLURM_PROCID/SLURM_NODELIST).
+
+    IMPORTANT: decides from env vars only — touching any jax API that
+    initializes the XLA backend (jax.devices, jax.process_count, …) before
+    ``jax.distributed.initialize`` makes the init raise, so this must run
+    first thing in the entry points.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    global _DISTRIBUTED_DONE
+    if _DISTRIBUTED_DONE:
+        return
     ntasks = int(os.environ.get("SLURM_NTASKS", "1"))
-    if ntasks > 1 and "SLURM_PROCID" in os.environ:
+    in_slurm = ntasks > 1 and "SLURM_PROCID" in os.environ
+    in_pod = "MEGASCALE_COORDINATOR_ADDRESS" in os.environ or "TPU_WORKER_HOSTNAMES" in os.environ and len(
+        os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",")
+    ) > 1
+    if in_slurm or in_pod:
         jax.distributed.initialize()  # jax auto-detects SLURM / TPU pod env
+    _DISTRIBUTED_DONE = True
 
 
 def make_mesh(
@@ -82,16 +96,33 @@ def spatial_sharding(mesh: Mesh, ndim: int = 4, batch_axis: str = "data", space_
 
 
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
-    """Place a host pytree of arrays onto the mesh, batch-dim sharded.
+    """Place host batches onto the mesh, batch-dim sharded.
+
+    Single-process: plain ``device_put`` with a NamedSharding. Multi-host:
+    each process holds only its own shard, so the global array must be
+    assembled with ``jax.make_array_from_process_local_data`` (``device_put``
+    would treat the local shard as the whole global array — and asserts the
+    input is identical across processes).
 
     A remainder batch whose leading dim does not divide the mesh is
     replicated instead (correct, redundant compute) — this only happens for
-    the final partial eval batch when ``drop_last=False``."""
+    the final partial eval batch when ``drop_last=False``, and is a
+    single-process-only affordance (multi-host eval loaders must drop the
+    remainder; distinct per-host data cannot be "replicated")."""
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    multi = jax.process_count() > 1
 
     def put(x):
-        if np.ndim(x) >= 1 and np.shape(x)[0] % n_dev == 0:
-            return jax.device_put(x, data_sharding(mesh, np.ndim(x), axis))
+        if np.ndim(x) >= 1 and (np.shape(x)[0] * (jax.process_count() if multi else 1)) % n_dev == 0:
+            sharding = data_sharding(mesh, np.ndim(x), axis)
+            if multi:
+                return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+            return jax.device_put(x, sharding)
+        if multi:
+            raise ValueError(
+                f"multi-host batch dim {np.shape(x)[0]} x {jax.process_count()} processes "
+                f"does not divide the {n_dev}-device mesh; use drop_last=True"
+            )
         return jax.device_put(x, replicated(mesh))
 
     return jax.tree.map(put, batch)

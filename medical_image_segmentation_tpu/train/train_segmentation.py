@@ -18,6 +18,7 @@ import argparse
 import os
 import sys
 import time
+from functools import partial
 from typing import Optional, Sequence
 
 import jax
@@ -116,7 +117,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     size = (args.image_size, args.image_size)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=0)
     def train_step(state, imgs, msks, key):
         x, y = segmentation_augment(key, imgs, msks, out_size=size, mean=mean, std=std,
                                     train=True, dtype=dtype)

@@ -19,6 +19,7 @@ import argparse
 import os
 import sys
 import time
+from functools import partial
 from typing import Optional, Sequence
 
 import jax
@@ -163,7 +164,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
     has_labels = getattr(dm, "has_train_labels", True)
 
-    @jax.jit
+    # donate the state: the inner task.train_step's donate hint is ignored
+    # under nested jit, and without it the full BYOLState is double-buffered
+    @partial(jax.jit, donate_argnums=0)
     def train_step(state, imgs, labels, key):
         labels = labels if has_labels else None
         if use_pallas:

@@ -70,4 +70,21 @@ ref_x = np.concatenate([np.full((2, 4), 1.0), np.full((2, 4), 2.0)]).astype(np.f
 ref = jax.jit(jax.grad(loss))(np.ones((4, 4), np.float32), ref_x)
 np.testing.assert_allclose(np.asarray(grad), np.asarray(ref), rtol=1e-6)
 
+# --- 4. production shard_batch assembles global arrays from per-host shards ---
+from medical_image_segmentation_tpu.parallel.mesh import make_mesh, shard_batch
+
+mesh2 = make_mesh()
+local_batch = np.full((2, 4), float(pid), np.float32)
+out = shard_batch(mesh2, {"x": local_batch})
+assert out["x"].shape == (4, 4), out["x"].shape  # global, not local
+s2 = jax.jit(lambda x: x.sum(), out_shardings=NamedSharding(mesh2, P()))(out["x"])
+assert float(s2) == 8.0, float(s2)
+
+# indivisible multi-host batches must raise the clear error, not mis-shard
+try:
+    shard_batch(mesh2, {"x": np.zeros((3, 4), np.float32)})
+    raise AssertionError("expected ValueError for indivisible multi-host batch")
+except ValueError:
+    pass
+
 print(f"PROC {pid} OK")
