@@ -201,6 +201,11 @@ int decode_one(const Store* s, int64_t idx, uint8_t* out, int oh, int ow, int oc
                int32_t* label) {
   if (idx < 0 || (uint64_t)idx >= s->header.num_samples) return -2;
   const Record& r = s->records[idx];
+  // never trust on-disk offsets: a truncated/corrupted store must fail with
+  // an error code, not an out-of-bounds read
+  if (r.offset > s->size || r.length > s->size - r.offset) return -4;
+  if (r.codec == kCodecRaw &&
+      r.length < (uint64_t)r.height * r.width * r.channels) return -5;
   const uint8_t* payload = s->base + r.offset;
   *label = r.label;
   if (r.codec == kCodecRaw) {
@@ -238,8 +243,15 @@ void* mis_open(const char* path) {
   s->fd = fd;
   s->base = static_cast<const uint8_t*>(base);
   s->size = st.st_size;
+  if ((size_t)st.st_size < kHeaderSize) {
+    munmap(base, st.st_size);
+    close(fd);
+    delete s;
+    return nullptr;
+  }
   memcpy(&s->header, s->base, sizeof(Header));
-  if (memcmp(s->header.magic, "MISTORE1", 8) != 0) {
+  uint64_t table_end = kHeaderSize + s->header.num_samples * kRecordSize;
+  if (memcmp(s->header.magic, "MISTORE1", 8) != 0 || table_end > (uint64_t)st.st_size) {
     munmap(base, st.st_size);
     close(fd);
     delete s;

@@ -268,3 +268,50 @@ class TestPairedLoader:
         assert isinstance(loader, PairedLoader)
         imgs, msks = next(iter(loader))
         assert imgs.shape == (4, 32, 32, 1) and msks.shape == (4, 32, 32, 1)
+
+
+class TestCorruptedStore:
+    def test_native_rejects_oob_offsets(self, tmp_path):
+        from medical_image_segmentation_tpu.data.store.native import NativeStore, get_lib
+
+        if get_lib() is None:
+            pytest.skip("no native toolchain")
+        p = str(tmp_path / "c.mis")
+        _write_store(p, n=4)
+        raw = bytearray(open(p, "rb").read())
+        # clobber record 0's offset (bytes 64..72) to point past EOF
+        import struct
+
+        struct.pack_into("<Q", raw, 64, 2**40)
+        open(p, "wb").write(bytes(raw))
+        ns = NativeStore(p)
+        with pytest.raises(IOError):
+            ns.fetch(np.array([0], np.int64))
+
+    def test_native_rejects_truncated_table(self, tmp_path):
+        from medical_image_segmentation_tpu.data.store.native import NativeStore, get_lib
+
+        if get_lib() is None:
+            pytest.skip("no native toolchain")
+        p = str(tmp_path / "t.mis")
+        _write_store(p, n=8)
+        raw = open(p, "rb").read()
+        open(p, "wb").write(raw[:80])  # header + partial table
+        with pytest.raises(IOError):
+            NativeStore(p)
+
+    def test_native_rejects_short_raw_payload(self, tmp_path):
+        from medical_image_segmentation_tpu.data.store.native import NativeStore, get_lib
+
+        if get_lib() is None:
+            pytest.skip("no native toolchain")
+        p = str(tmp_path / "s.mis")
+        _write_store(p, n=2)
+        raw = bytearray(open(p, "rb").read())
+        import struct
+
+        struct.pack_into("<Q", raw, 64 + 8, 3)  # record 0 length = 3 bytes
+        open(p, "wb").write(bytes(raw))
+        ns = NativeStore(p)
+        with pytest.raises(IOError):
+            ns.fetch(np.array([0], np.int64))
