@@ -39,18 +39,26 @@ def main():
 
     n_chips = len(jax.devices())
     print(f"devices: {jax.devices()}", file=sys.stderr)
+    if args.batch_size % n_chips:
+        raise SystemExit(f"--batch_size {args.batch_size} must divide {n_chips} devices")
+    if args.warmup < 1 or args.steps < 1:
+        raise SystemExit("--warmup and --steps must be >= 1")
 
     task = BYOLTask(
         arch=args.arch, in_channels=1, hidden_dim=4096, proj_dim=256,
         num_classes=10, total_steps=100_000,
         learning_rate=1.0, warmup_epochs=10, max_epochs=200,
     )
+    from medical_image_segmentation_tpu.parallel import make_mesh, replicated, shard_batch
+
+    mesh = make_mesh()
     state = task.init(jax.random.key(0), (2, args.crop_size, args.crop_size, 1))
+    state = jax.device_put(state, replicated(mesh))
 
     rng = np.random.default_rng(0)
-    raw = jnp.asarray(
-        rng.integers(0, 256, size=(args.batch_size, args.image_size, args.image_size, 1)),
-        jnp.uint8,
+    raw = shard_batch(
+        mesh,
+        rng.integers(0, 256, size=(args.batch_size, args.image_size, args.image_size, 1)).astype(np.uint8),
     )
     import dataclasses
     cfg1 = dataclasses.replace(BYOL_VIEW1, out_size=(args.crop_size, args.crop_size))

@@ -19,9 +19,12 @@
 //            -ljpeg -lpng -lz -pthread -o libmisloader.so
 
 #include <atomic>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <functional>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -71,12 +74,83 @@ struct Record {
 
 static_assert(sizeof(Record) == kRecordSize, "record layout");
 
+// lazily-created persistent worker pool: fetch calls dispatch a shared
+// work function; threads persist across batches (FFCV-style epoch pipeline
+// workers) instead of paying create/join per batch.
+struct WorkerPool {
+  std::vector<std::thread> threads;
+  std::mutex mu;
+  std::condition_variable cv_start, cv_done;
+  std::function<void()> work;   // claimed cooperatively via the atomic in fetch
+  uint64_t generation = 0;
+  int started = 0;   // workers that claimed the current generation
+  int running = 0;
+  bool shutdown = false;
+
+  void ensure(int n) {
+    std::unique_lock<std::mutex> lk(mu);
+    while ((int)threads.size() < n) {
+      threads.emplace_back([this] {
+        uint64_t seen = 0;
+        while (true) {
+          std::function<void()> job;
+          {
+            std::unique_lock<std::mutex> lk(mu);
+            cv_start.wait(lk, [&] { return shutdown || generation != seen; });
+            if (shutdown) return;
+            seen = generation;
+            job = work;
+            ++started;
+            ++running;
+          }
+          job();
+          {
+            std::unique_lock<std::mutex> lk(mu);
+            --running;
+            cv_done.notify_all();
+          }
+        }
+      });
+    }
+  }
+
+  // run `job` on `n` workers + the caller thread; returns when all done
+  void run(const std::function<void()>& job, int n) {
+    ensure(n);
+    int expect;
+    {
+      std::unique_lock<std::mutex> lk(mu);
+      work = job;
+      started = 0;
+      expect = (int)threads.size();
+      ++generation;
+      cv_start.notify_all();
+    }
+    job();  // caller participates
+    // wait until EVERY worker has claimed this generation AND finished —
+    // returning while an idle worker still holds a pending claim would let
+    // it run a dangling closure after the caller's stack unwinds
+    std::unique_lock<std::mutex> lk(mu);
+    cv_done.wait(lk, [&] { return started == expect && running == 0; });
+  }
+
+  ~WorkerPool() {
+    {
+      std::unique_lock<std::mutex> lk(mu);
+      shutdown = true;
+      cv_start.notify_all();
+    }
+    for (auto& t : threads) t.join();
+  }
+};
+
 struct Store {
   int fd = -1;
   const uint8_t* base = nullptr;
   size_t size = 0;
   Header header{};
   const Record* records = nullptr;
+  WorkerPool pool;
 };
 
 // ---------------------------------------------------------------------------
@@ -250,8 +324,9 @@ void* mis_open(const char* path) {
     return nullptr;
   }
   memcpy(&s->header, s->base, sizeof(Header));
-  uint64_t table_end = kHeaderSize + s->header.num_samples * kRecordSize;
-  if (memcmp(s->header.magic, "MISTORE1", 8) != 0 || table_end > (uint64_t)st.st_size) {
+  // overflow-safe: num_samples must fit the table region
+  uint64_t max_records = ((uint64_t)st.st_size - kHeaderSize) / kRecordSize;
+  if (memcmp(s->header.magic, "MISTORE1", 8) != 0 || s->header.num_samples > max_records) {
     munmap(base, st.st_size);
     close(fd);
     delete s;
@@ -287,9 +362,12 @@ int mis_fetch(void* store, const int64_t* indices, int n, uint8_t* out,
   Store* s = static_cast<Store*>(store);
   const size_t stride = size_t(oh) * ow * oc;
 
-  // hint the kernel about the pages this batch touches
+  // hint the kernel about the pages this batch touches (indices validated
+  // here too — decode_one re-checks, but this loop must not read OOB either)
   for (int i = 0; i < n; ++i) {
+    if (indices[i] < 0 || (uint64_t)indices[i] >= s->header.num_samples) continue;
     const Record& r = s->records[indices[i]];
+    if (r.offset > s->size || r.length > s->size - r.offset) continue;
     uintptr_t a = reinterpret_cast<uintptr_t>(s->base + r.offset) & ~uintptr_t(4095);
     size_t len = (r.length + 4096 + 4095) & ~size_t(4095);
     madvise(reinterpret_cast<void*>(a), len, MADV_WILLNEED);
@@ -311,9 +389,8 @@ int mis_fetch(void* store, const int64_t* indices, int n, uint8_t* out,
   if (num_threads <= 1) {
     work();
   } else {
-    std::vector<std::thread> threads;
-    for (int t = 0; t < num_threads; ++t) threads.emplace_back(work);
-    for (auto& t : threads) t.join();
+    // persistent pool: caller + (num_threads-1) workers share the claim queue
+    s->pool.run(work, num_threads - 1);
   }
   return err.load();
 }

@@ -95,10 +95,17 @@ class DecathlonLoader:
         self.prefetch = prefetch
         self.epoch = 0
 
-    def __len__(self) -> int:
+    def _shard_indices(self) -> np.ndarray:
         shard_id, num_shards = self.shard
-        n = len(range(shard_id, len(self.ds), num_shards))
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        mine = np.arange(shard_id, len(self.ds), num_shards, dtype=np.int64)
+        if num_shards > 1:  # equalize so all hosts run identical batch counts
+            mine = mine[: len(self.ds) // num_shards]
+        return mine
+
+    def __len__(self) -> int:
+        n = len(self._shard_indices())
+        drop = self.drop_last or self.shard[1] > 1
+        return n // self.batch_size if drop else -(-n // self.batch_size)
 
     def _load_batch(self, idxs: np.ndarray):
         import cv2
@@ -113,14 +120,14 @@ class DecathlonLoader:
         return imgs, msks
 
     def _index_batches(self):
-        shard_id, num_shards = self.shard
-        mine = np.arange(shard_id, len(self.ds), num_shards, dtype=np.int64)
+        mine = self._shard_indices()
         epoch = self.epoch
         self.epoch += 1  # up front: early break must not repeat the epoch
         if self.shuffle:
             rng = np.random.default_rng(np.random.SeedSequence([self.seed, epoch]))
             rng.shuffle(mine)
-        end = len(mine) - (len(mine) % self.batch_size) if self.drop_last else len(mine)
+        drop = self.drop_last or self.shard[1] > 1
+        end = len(mine) - (len(mine) % self.batch_size) if drop else len(mine)
         for s in range(0, end, self.batch_size):
             yield mine[s : s + self.batch_size]
 

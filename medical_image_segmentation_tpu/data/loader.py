@@ -169,17 +169,21 @@ class Loader:
 
     @property
     def num_samples(self) -> int:
-        """Samples in this host's shard."""
-        shard_id, num_shards = self.shard
-        return len(range(shard_id, self._n_total, num_shards))
+        """Samples in this host's shard (equalized: every shard gets
+        floor(N/num_shards) so all hosts run identical batch counts and the
+        collectives inside jitted steps stay in lockstep)."""
+        _, num_shards = self.shard
+        return self._n_total // num_shards if num_shards > 1 else self._n_total
 
     def __len__(self) -> int:
         n = self.num_samples
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        drop = self.drop_last or self.shard[1] > 1
+        return n // self.batch_size if drop else -(-n // self.batch_size)
 
     def _shard_indices(self) -> np.ndarray:
         shard_id, num_shards = self.shard
-        return np.arange(shard_id, self._n_total, num_shards, dtype=np.int64)
+        mine = np.arange(shard_id, self._n_total, num_shards, dtype=np.int64)
+        return mine[: self.num_samples]
 
     def _fetch(self, idxs: np.ndarray):
         if self._native is not None:
@@ -205,7 +209,10 @@ class Loader:
         self.epoch += 1
         order = make_order(len(mine), self.order_mode, self.seed, epoch)
         mine = mine[order]
-        end = len(mine) - (len(mine) % self.batch_size) if self.drop_last else len(mine)
+        # multi-host: partial batches can't be assembled into a global array
+        # with uneven per-host sizes — always drop the remainder when sharded
+        drop = self.drop_last or self.shard[1] > 1
+        end = len(mine) - (len(mine) % self.batch_size) if drop else len(mine)
         for s in range(0, end, self.batch_size):
             yield mine[s : s + self.batch_size]
 

@@ -37,9 +37,11 @@ def _build() -> Optional[str]:
     out = os.path.join(_cache_dir(), f"libmisloader-{digest}.so")
     if os.path.exists(out):
         return out
+    tmp = f"{out}.{os.getpid()}.tmp"  # pid-unique: concurrent builders must
+    # not interleave writes into one -o target before the atomic publish
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        _SRC, "-ljpeg", "-lpng", "-lz", "-pthread", "-o", out + ".tmp",
+        _SRC, "-ljpeg", "-lpng", "-lz", "-pthread", "-o", tmp,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
@@ -47,7 +49,7 @@ def _build() -> Optional[str]:
         stderr = getattr(e, "stderr", b"") or b""
         print(f"mis_loader native build failed: {e}\n{stderr.decode()[:2000]}", file=sys.stderr)
         return None
-    os.replace(out + ".tmp", out)
+    os.replace(tmp, out)
     return out
 
 

@@ -63,6 +63,8 @@ class StoreReader:
             raise ValueError(f"decode failed for sample {i}")
         if img.ndim == 2:
             img = img[..., None]
+        if img.shape[-1] == 3:
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)  # payloads are RGB (see writer._encode)
         return img
 
     def __getitem__(self, i: int) -> Tuple[np.ndarray, int]:

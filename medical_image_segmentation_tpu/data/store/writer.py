@@ -34,6 +34,12 @@ def _encode(img: np.ndarray, codec: int, quality: int) -> bytes:
         return np.ascontiguousarray(img).tobytes()
     import cv2
 
+    # store payloads are RGB-ordered: cv2.imencode assumes BGR input, so
+    # 3-channel images are swapped before encoding (the C++ loader decodes
+    # with libjpeg/libpng straight to RGB; StoreReader swaps back after
+    # cv2.imdecode) — without this the two decode paths disagree
+    if img.ndim == 3 and img.shape[-1] == 3:
+        img = cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
     ext = ".jpg" if codec == CODEC_JPEG else ".png"
     params = [cv2.IMWRITE_JPEG_QUALITY, quality] if codec == CODEC_JPEG else []
     ok, buf = cv2.imencode(ext, img, params)

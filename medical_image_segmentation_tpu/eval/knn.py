@@ -68,8 +68,17 @@ class KNNEvaluator:
         for x, y in train_batches:
             feats.append(np.asarray(_l2_normalize(embed_fn(jnp.asarray(x)).astype(jnp.float32))))
             labels.append(np.asarray(y))
-        bank = jnp.asarray(np.concatenate(feats))
-        bank_labels = jnp.asarray(np.concatenate(labels))
+        bank = np.concatenate(feats)
+        bank_labels = np.concatenate(labels)
+        if jax.process_count() > 1:
+            # assemble the FULL bank from every host's shard (the reference's
+            # NCCL all_gather, knn.py:114-117)
+            from jax.experimental import multihost_utils
+
+            bank = np.asarray(multihost_utils.process_allgather(bank)).reshape(-1, bank.shape[-1])
+            bank_labels = np.asarray(multihost_utils.process_allgather(bank_labels)).reshape(-1)
+        bank = jnp.asarray(bank)
+        bank_labels = jnp.asarray(bank_labels)
 
         correct = total = 0
         for x, y in val_batches:

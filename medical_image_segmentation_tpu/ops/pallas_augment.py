@@ -32,8 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from medical_image_segmentation_tpu.ops.augment import ViewConfig, sample_rrc_window
 
-# per-view params packed as [y0, x0, ch, cw, flip, solarize] → 6 floats
-_PARAMS_PER_VIEW = 6
+# per-view params packed as [y0, x0, ch, cw, flip, solarize, threshold] → 7 floats
+_PARAMS_PER_VIEW = 7
 _N_PARAMS = 16  # padded (2 views × 6 used)
 
 
@@ -55,7 +55,7 @@ def _interp_rows(start, size, in_dim: int, out_dim: int, flip, mirror: bool):
 
 
 def _augment_kernel(params_ref, img_ref, v1_ref, v2_ref, *, in_h, in_w, out_h, out_w,
-                    mean, std, thresh):
+                    mean, std):
     # Mosaic has no direct uint8→f32 cast; hop through int32
     img = img_ref[0].astype(jnp.int32).astype(jnp.float32)  # (H, W)
     for view, out_ref in ((0, v1_ref), (1, v2_ref)):
@@ -66,6 +66,7 @@ def _augment_kernel(params_ref, img_ref, v1_ref, v2_ref, *, in_h, in_w, out_h, o
         cw = params_ref[0, 0, base + 3]
         flip = params_ref[0, 0, base + 4]
         sol = params_ref[0, 0, base + 5]
+        thresh = params_ref[0, 0, base + 6]
 
         r_y = _interp_rows(y0, ch, in_h, out_h, flip, mirror=False)
         r_x = _interp_rows(x0, cw, in_w, out_w, flip, mirror=True)
@@ -84,8 +85,9 @@ def sample_view_params(rng: jax.Array, batch: int, in_h: int, in_w: int,
         y0, x0, h, w = sample_rrc_window(kw, batch, in_h, in_w, cfg.crop_scale, cfg.crop_ratio)
         flip = (jax.random.uniform(kf, (batch,)) < cfg.hflip_prob).astype(jnp.float32)
         sol = (jax.random.uniform(ks, (batch,)) < cfg.solarize_prob).astype(jnp.float32)
-        cols += [y0, x0, h, w, flip, sol]
-    params = jnp.stack(cols, axis=1).astype(jnp.float32)  # (B, 12)
+        thr = jnp.full((batch,), cfg.solarize_threshold, jnp.float32)
+        cols += [y0, x0, h, w, flip, sol, thr]
+    params = jnp.stack(cols, axis=1).astype(jnp.float32)  # (B, 14)
     pad = _N_PARAMS - params.shape[1]
     return jnp.pad(params, ((0, 0), (0, pad)))
 
@@ -116,7 +118,7 @@ def pallas_two_view_augment(
     kernel = partial(
         _augment_kernel,
         in_h=in_h, in_w=in_w, out_h=oh1, out_w=ow1,
-        mean=float(mean[0]), std=float(std[0]), thresh=float(cfg2.solarize_threshold),
+        mean=float(mean[0]), std=float(std[0]),
     )
     v1, v2 = pl.pallas_call(
         kernel,

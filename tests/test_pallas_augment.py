@@ -20,15 +20,16 @@ from medical_image_segmentation_tpu.ops.pallas_augment import (
 )
 
 
-def _reference_views(params, images, out_hw, mean, std, thresh=128.0):
+def _reference_views(params, images, out_hw, mean, std):
     """Reference math using the XLA-path primitives with the SAME params."""
     b, in_h, in_w = images.shape
     oh, ow = out_hw
     outs = []
     img4 = images[..., None].astype(jnp.float32)
     for view in range(2):
-        base = view * 6
-        y0, x0, ch, cw, flip, sol = (params[:, base + k] for k in range(6))
+        base = view * 7  # [y0, x0, ch, cw, flip, sol, thresh] per view
+        y0, x0, ch, cw, flip, sol, thresh = (params[:, base + k] for k in range(7))
+        thresh = thresh[:, None, None, None]
         r_y = _resize_matrix(y0, ch, in_h, oh)
         r_x = _flip_cols(_resize_matrix(x0, cw, in_w, ow), flip > 0.5)
         x = apply_resample(img4, r_y, r_x).astype(jnp.float32)
