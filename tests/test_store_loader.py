@@ -315,3 +315,33 @@ class TestCorruptedStore:
         ns = NativeStore(p)
         with pytest.raises(IOError):
             ns.fetch(np.array([0], np.int64))
+
+
+class TestRGBConvention:
+    def test_native_and_python_agree_on_rgb_jpeg(self, tmp_path):
+        """Compressed 3-channel payloads are RGB-ordered: the C++ (libjpeg)
+        and Python (cv2) decode paths must both return the ORIGINAL RGB
+        array (regression test for a silent R/B swap on the native path)."""
+        from medical_image_segmentation_tpu.data.store.native import NativeStore, get_lib
+
+        p = str(tmp_path / "rgb.mis")
+        # strongly asymmetric channels: R=200, G=90, B=20
+        img = np.zeros((32, 32, 3), np.uint8)
+        img[..., 0] = 200
+        img[..., 1] = 90
+        img[..., 2] = 20
+        with StoreWriter(p, channels=3) as w:
+            w.add(img, codec=CODEC_JPEG, quality=95)
+            w.add(img, codec=CODEC_PNG)
+        r = StoreReader(p)
+        for i, tol in ((0, 6), (1, 0)):  # JPEG lossy, PNG exact
+            got = r.image(i).astype(int)
+            assert abs(got[16, 16, 0] - 200) <= tol and abs(got[16, 16, 2] - 20) <= tol, \
+                f"python reader channel swap at sample {i}: {got[16,16]}"
+        if get_lib() is not None:
+            ns = NativeStore(p)
+            out, _ = ns.fetch(np.array([0, 1], np.int64))
+            for i, tol in ((0, 6), (1, 0)):
+                px = out[i, 16, 16].astype(int)
+                assert abs(px[0] - 200) <= tol and abs(px[2] - 20) <= tol, \
+                    f"native reader channel swap at sample {i}: {px}"
