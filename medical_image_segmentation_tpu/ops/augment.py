@@ -147,6 +147,14 @@ class ViewConfig:
     brightness: float = 0.0
     contrast: float = 0.0
     saturation: float = 0.0
+    # random CT windowing (PAPERS.md: "Random Window Augmentations for Deep
+    # Learning Robustness in CT", "View it like a radiologist"): re-window
+    # the 0-255 intensity range with a random level/width, simulating
+    # different radiology display windows. Off by default (not in the
+    # reference pipeline).
+    window_prob: float = 0.0
+    window_level_range: Tuple[float, float] = (96.0, 160.0)
+    window_width_range: Tuple[float, float] = (128.0, 255.0)
 
 
 # Canonical two-view configs (BYOL asymmetry: solarize only on view 2,
@@ -228,6 +236,17 @@ def augment_view(
         coin = jax.random.uniform(keys[5], (b, 1, 1, 1)) < cfg.grayscale_prob
         gray = jnp.sum(x * jnp.asarray([0.299, 0.587, 0.114]), axis=-1, keepdims=True)
         x = jnp.where(coin, jnp.broadcast_to(gray, x.shape), x)
+
+    if cfg.window_prob > 0.0:
+        wk1, wk2, wk3 = jax.random.split(keys[7], 3)
+        on = jax.random.uniform(wk1, (b, 1, 1, 1)) < cfg.window_prob
+        level = jax.random.uniform(wk2, (b, 1, 1, 1), minval=cfg.window_level_range[0],
+                                   maxval=cfg.window_level_range[1])
+        width = jax.random.uniform(wk3, (b, 1, 1, 1), minval=cfg.window_width_range[0],
+                                   maxval=cfg.window_width_range[1])
+        lo = level - width / 2.0
+        rewin = jnp.clip((x - lo) / width * 255.0, 0.0, 255.0)
+        x = jnp.where(on, rewin, x)
 
     if cfg.solarize_prob > 0.0:
         coin = jax.random.uniform(keys[6], (b, 1, 1, 1)) < cfg.solarize_prob

@@ -175,3 +175,33 @@ class TestSegmentationAugment:
             q_out = np.argmax([oi[:16, :16].sum(), oi[:16, 16:].sum(),
                                oi[16:, :16].sum(), oi[16:, 16:].sum()])
             assert q_ref == q_out, f"sample {i}: image flip disagrees with mask flip"
+
+
+class TestCTWindowing:
+    def test_windowing_changes_contrast_only_when_on(self):
+        rng = np.random.default_rng(10)
+        img = jnp.asarray(rng.integers(0, 256, size=(2, 32, 32, 1)), jnp.uint8)
+        base = ViewConfig(out_size=(32, 32), crop_scale=(1.0, 1.0), crop_ratio=(1.0, 1.0),
+                          hflip_prob=0.0)
+        win = ViewConfig(out_size=(32, 32), crop_scale=(1.0, 1.0), crop_ratio=(1.0, 1.0),
+                         hflip_prob=0.0, window_prob=1.0,
+                         window_level_range=(128.0, 128.0), window_width_range=(128.0, 128.0))
+        a = np.asarray(augment_view(jax.random.key(5), img, base, (0.0,), (1.0,), jnp.float32))
+        b = np.asarray(augment_view(jax.random.key(5), img, win, (0.0,), (1.0,), jnp.float32))
+        # fixed window level=128 width=128: x -> clip((x-64)/128*255)
+        expected = np.clip((a - 64.0) / 128.0 * 255.0, 0.0, 255.0)
+        np.testing.assert_allclose(b, expected, atol=1e-2)
+
+    def test_window_off_by_default(self):
+        assert ViewConfig().window_prob == 0.0
+
+
+class TestBlurMatrix:
+    def test_rows_sum_to_one_and_symmetric(self):
+        from medical_image_segmentation_tpu.ops.augment import _blur_matrix
+
+        m = np.asarray(_blur_matrix(jax.random.key(0), 2, 32, kernel=23, prob=1.0,
+                                    dtype=jnp.float32))
+        np.testing.assert_allclose(m.sum(axis=2), 1.0, atol=1e-5)
+        # interior rows mirror each other around the diagonal
+        np.testing.assert_allclose(m[0, 16, 10:23], m[0, 16, 22:9:-1], atol=1e-5)
