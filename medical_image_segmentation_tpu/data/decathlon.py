@@ -20,8 +20,6 @@ from __future__ import annotations
 
 import json
 import os
-import queue
-import threading
 from typing import List, Optional, Tuple
 
 import numpy as np

@@ -14,8 +14,6 @@ import os
 import sys
 from typing import Optional, Sequence
 
-import numpy as np
-
 from medical_image_segmentation_tpu.data.store import CODEC_JPEG, CODEC_RAW
 from medical_image_segmentation_tpu.data.store.writer import write_store_from_dataset
 

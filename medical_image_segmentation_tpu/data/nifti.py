@@ -13,7 +13,7 @@ from __future__ import annotations
 import gzip
 import struct
 from dataclasses import dataclass
-from typing import Tuple, Union
+from typing import Tuple
 
 import numpy as np
 

@@ -9,13 +9,11 @@ mmap + page-cache behavior is the analogue of FFCV's ``os_cache=True``
 from __future__ import annotations
 
 import mmap
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
 from medical_image_segmentation_tpu.data.store.format import (
-    CODEC_JPEG,
-    CODEC_PNG,
     CODEC_RAW,
     HEADER_SIZE,
     RECORD_SIZE,

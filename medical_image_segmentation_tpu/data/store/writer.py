@@ -10,15 +10,13 @@ JPEG-compress, write in parallel, produce one self-contained file.
 from __future__ import annotations
 
 import os
-import struct
-from typing import Callable, Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence
 
 import numpy as np
 
 from medical_image_segmentation_tpu.data.store.format import (
     ALIGN,
     CODEC_JPEG,
-    CODEC_PNG,
     CODEC_RAW,
     HEADER_SIZE,
     LABEL_INT32,

@@ -13,7 +13,7 @@ it checkpoints with everything else (reference `linear_eval.py:135-142`).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import flax.linen as nn
 import flax.struct

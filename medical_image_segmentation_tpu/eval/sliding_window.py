@@ -14,7 +14,7 @@ image size class; the blend is a `fori_loop` of dynamic-slice updates.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

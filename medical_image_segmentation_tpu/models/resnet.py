@@ -29,7 +29,6 @@ from functools import partial
 from typing import Any, Callable, Sequence
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 ModuleDef = Any

@@ -17,7 +17,7 @@ sharded over the mesh's ``data`` axis; no DDP/sync-BN machinery.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.struct
 import jax
