@@ -50,7 +50,14 @@ def initialize_distributed() -> None:
     in_pod = "MEGASCALE_COORDINATOR_ADDRESS" in os.environ or "TPU_WORKER_HOSTNAMES" in os.environ and len(
         os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",")
     ) > 1
-    if in_slurm or in_pod:
+    # explicit manual launch (also how tests run the CLIs multi-process):
+    #   JAX_COORDINATOR_ADDRESS=host:port JAX_NUM_PROCESSES=N JAX_PROCESS_ID=i
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    n_explicit = int(os.environ.get("JAX_NUM_PROCESSES", "0"))
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if addr and n_explicit > 1 and pid is not None:
+        jax.distributed.initialize(addr, n_explicit, int(pid))
+    elif in_slurm or in_pod:
         jax.distributed.initialize()  # jax auto-detects SLURM / TPU pod env
     _DISTRIBUTED_DONE = True
 
