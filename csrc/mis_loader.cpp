@@ -278,8 +278,10 @@ int decode_one(const Store* s, int64_t idx, uint8_t* out, int oh, int ow, int oc
   // never trust on-disk offsets: a truncated/corrupted store must fail with
   // an error code, not an out-of-bounds read
   if (r.offset > s->size || r.length > s->size - r.offset) return -4;
-  if (r.codec == kCodecRaw &&
-      r.length < (uint64_t)r.height * r.width * r.channels) return -5;
+  if (r.codec == kCodecRaw) {
+    if (r.height == 0 || r.width == 0 || r.channels == 0) return -5;
+    if (r.length < (uint64_t)r.height * r.width * r.channels) return -5;
+  }
   const uint8_t* payload = s->base + r.offset;
   *label = r.label;
   if (r.codec == kCodecRaw) {
@@ -292,6 +294,7 @@ int decode_one(const Store* s, int64_t idx, uint8_t* out, int oh, int ow, int oc
   int rc = (r.codec == kCodecJpeg) ? decode_jpeg(payload, r.length, tmp, oc, &h, &w)
                                    : decode_png(payload, r.length, tmp, oc, &h, &w);
   if (rc != 0) return rc;
+  if (h <= 0 || w <= 0) return -6;
   place(tmp.data(), h, w, out, oh, ow, oc);
   return 0;
 }

@@ -95,10 +95,10 @@ class DecathlonLoader:
 
     def _shard_indices(self) -> np.ndarray:
         shard_id, num_shards = self.shard
-        mine = np.arange(shard_id, len(self.ds), num_shards, dtype=np.int64)
-        if num_shards > 1:  # equalize so all hosts run identical batch counts
-            mine = mine[: len(self.ds) // num_shards]
-        return mine
+        if num_shards == 1:
+            return np.arange(len(self.ds), dtype=np.int64)
+        per = len(self.ds) // num_shards  # equalized contiguous blocks
+        return np.arange(shard_id * per, (shard_id + 1) * per, dtype=np.int64)
 
     def __len__(self) -> int:
         n = len(self._shard_indices())

@@ -181,9 +181,12 @@ class Loader:
         return n // self.batch_size if drop else -(-n // self.batch_size)
 
     def _shard_indices(self) -> np.ndarray:
+        # contiguous block sharding (not strided): QUASI_RANDOM's page
+        # locality only holds if a shard's records are adjacent in the file
         shard_id, num_shards = self.shard
-        mine = np.arange(shard_id, self._n_total, num_shards, dtype=np.int64)
-        return mine[: self.num_samples]
+        per = self.num_samples
+        start = shard_id * per
+        return np.arange(start, start + per, dtype=np.int64)
 
     def _fetch(self, idxs: np.ndarray):
         if self._native is not None:
@@ -300,7 +303,6 @@ class PairedLoader:
             imgs, _ = self._imgs._fetch(idxs)
             msks, _ = self._msks._fetch(idxs)
             yield imgs, msks.astype(np.float32)
-        self._msks.epoch = self._imgs.epoch
 
     def __iter__(self):
         yield from prefetch_iter(self._pairs, self.prefetch)

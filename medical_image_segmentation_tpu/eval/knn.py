@@ -89,4 +89,12 @@ class KNNEvaluator:
             pred = np.asarray(jnp.argmax(scores, -1))
             correct += int((pred == np.asarray(y)).sum())
             total += len(pred)
+        if jax.process_count() > 1:
+            # aggregate over every host's val shard so all hosts report the
+            # same global accuracy
+            from jax.experimental import multihost_utils
+
+            agg = np.asarray(multihost_utils.process_allgather(
+                np.array([correct, total], np.int64))).reshape(-1, 2).sum(axis=0)
+            correct, total = int(agg[0]), int(agg[1])
         return correct / max(total, 1)

@@ -147,6 +147,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         if step is not None:
             state = restore_checkpoint(os.path.join(args.checkpoint_dir, str(step)), state)
             start_epoch = int(np.asarray(state.step)) // steps_per_epoch
+            # continue the data order and augmentation stream instead of
+            # replaying epoch 0's randomness
+            train_loader.epoch = start_epoch
             print(f"resumed from step {int(np.asarray(state.step))} (epoch {start_epoch})", file=sys.stderr)
 
     cfg1, cfg2 = dm.view_configs()
@@ -176,7 +179,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         return task.train_step(state, v1, v2, labels)
 
     logger = CSVMetricsLogger(args.log_dir) if is_main else None
-    key = jax.random.key(args.seed + 1)
+    key = jax.random.fold_in(jax.random.key(args.seed + 1), int(np.asarray(state.step)))
 
     # preemption safety: on SIGTERM/SIGINT finish the current step, write a
     # checkpoint, and exit cleanly (resume with --resume). TPU pods get
@@ -191,6 +194,20 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
     signal.signal(signal.SIGTERM, _request_stop)
     signal.signal(signal.SIGINT, _request_stop)
+
+    def _stop_agreed(step_idx: int) -> bool:
+        """Multi-host runs must agree on stopping — a lone host exiting
+        leaves peers blocked in the next collective. Any-host signal wins;
+        synced every 20 steps to bound the collective overhead."""
+        if nproc == 1:
+            return stop_requested["flag"]
+        if step_idx % 20 != 19 and not stop_requested["flag"]:
+            return False
+        from jax.experimental import multihost_utils
+
+        flags = np.asarray(multihost_utils.process_allgather(
+            np.array([stop_requested["flag"]], np.int32)))
+        return bool(flags.sum() > 0)
 
     def _checkpoint():
         if is_main:
@@ -207,7 +224,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             key = jax.random.fold_in(key, 1)
             state, metrics = train_step(state, imgs, labels, key)
             n_imgs += args.batch_size
-            if stop_requested["flag"]:
+            if _stop_agreed(i):
                 _checkpoint()
                 return 0
             if logger and (i % 50 == 0):
