@@ -15,13 +15,16 @@ encoding rules:
   reference uses for its dimension scan, `create_subset.py:459-463`);
 - ``pixel_array`` for uncompressed pixel data: 8/16-bit, signed/unsigned,
   single- or multi-frame, grayscale or RGB, with MONOCHROME1 left to the
-  caller (parity: pydicom also does not invert).
-
-Compressed transfer syntaxes (JPEG/J2K/RLE, 1.2.840.10008.1.2.4.*/.5)
-raise ``UnsupportedTransferSyntax`` — the offline preprocessing stage
-rejects those files with a per-file error status rather than crashing the
-scan (matching the reference's per-file fault tolerance,
-`create_subset.py:197-241`).
+  caller (parity: pydicom also does not invert);
+- **compressed pixel data** (encapsulated PS3.5 §A.4: basic offset table +
+  fragments) for RLE Lossless (1.2.840.10008.1.2.5), JPEG Baseline
+  (.4.50) and JPEG Lossless (.4.57/.4.70) via `data/dicom_codecs.py`
+  (C++ fast path + Python reference). Header-only scans work for EVERY
+  transfer syntax. Still-unsupported codecs (J2K, JPEG-LS, deflated) fall
+  back to pydicom when it is installed, else raise
+  ``UnsupportedTransferSyntax`` — a per-file error status in the ingest
+  tools rather than a crash (matching the reference's per-file fault
+  tolerance, `create_subset.py:197-241`).
 """
 
 from __future__ import annotations
@@ -36,6 +39,13 @@ IMPLICIT_VR_LE = "1.2.840.10008.1.2"
 EXPLICIT_VR_LE = "1.2.840.10008.1.2.1"
 EXPLICIT_VR_BE = "1.2.840.10008.1.2.2"
 DEFLATED_VR_LE = "1.2.840.10008.1.2.1.99"
+JPEG_BASELINE = "1.2.840.10008.1.2.4.50"
+JPEG_LOSSLESS = "1.2.840.10008.1.2.4.57"
+JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
+RLE_LOSSLESS = "1.2.840.10008.1.2.5"
+
+# encapsulated syntaxes we decode natively (data/dicom_codecs.py)
+_NATIVE_CODECS = {JPEG_BASELINE, JPEG_LOSSLESS, JPEG_LOSSLESS_SV1, RLE_LOSSLESS}
 
 # VRs that use the 12-byte (2 reserved + 4-byte length) explicit header
 _LONG_VRS = {b"OB", b"OW", b"OF", b"OD", b"OL", b"OV", b"SQ", b"UC", b"UR", b"UT", b"UN"}
@@ -75,6 +85,11 @@ class DicomFile:
     transfer_syntax: str = EXPLICIT_VR_LE
     elements: Dict[str, Union[int, float, str]] = field(default_factory=dict)
     pixel_bytes: Optional[bytes] = None
+    # encapsulated (compressed) pixel data: per-fragment byte strings + the
+    # basic offset table (PS3.5 §A.4); None for uncompressed syntaxes
+    pixel_fragments: Optional[list] = None
+    basic_offset_table: Optional[Tuple[int, ...]] = None
+    source_path: Optional[str] = None
 
     @property
     def rows(self) -> int:
@@ -84,10 +99,85 @@ class DicomFile:
     def columns(self) -> int:
         return int(self.elements.get("columns", 0))
 
+    def _frame_chunks(self) -> list:
+        """Group fragments into per-frame byte strings: single frame → all
+        fragments concatenated; else 1:1 when counts match; else split by the
+        basic offset table (offsets point at fragment item headers, relative
+        to the first byte after the BOT item)."""
+        frames = int(self.elements.get("number_of_frames", 1) or 1)
+        frags = self.pixel_fragments
+        if frames == 1:
+            return [b"".join(frags)]
+        if len(frags) == frames:
+            return list(frags)
+        bot = self.basic_offset_table
+        if not bot or len(bot) != frames:
+            raise DicomError(
+                f"cannot map {len(frags)} fragments to {frames} frames without an offset table"
+            )
+        frag_offsets = []
+        pos = 0
+        for fr in frags:
+            frag_offsets.append(pos)
+            pos += 8 + len(fr)  # 8-byte item header precedes each fragment
+        out = []
+        for k in range(frames):
+            end = bot[k + 1] if k + 1 < frames else pos + 1
+            out.append(b"".join(
+                fr for off, fr in zip(frag_offsets, frags) if bot[k] <= off < end
+            ))
+        return out
+
+    def _decode_frame(self, data: bytes) -> np.ndarray:
+        from medical_image_segmentation_tpu.data import dicom_codecs as codecs
+
+        ts = self.transfer_syntax
+        bits = int(self.elements.get("bits_allocated", 16))
+        samples = int(self.elements.get("samples_per_pixel", 1))
+        if ts == RLE_LOSSLESS:
+            arr = codecs.rle_decode(data, self.rows, self.columns, bits, samples)
+        elif ts in (JPEG_LOSSLESS, JPEG_LOSSLESS_SV1):
+            arr = codecs.jpeg_lossless_decode(data)
+        elif ts == JPEG_BASELINE:
+            arr = codecs.jpeg_baseline_decode(data)
+        else:  # pragma: no cover — guarded by _NATIVE_CODECS check
+            raise UnsupportedTransferSyntax(ts)
+        if arr.shape[:2] != (self.rows, self.columns):
+            raise DicomError(
+                f"decoded frame {arr.shape} != header ({self.rows}, {self.columns})"
+            )
+        if int(self.elements.get("pixel_representation", 0)) == 1:
+            arr = arr.astype({8: np.int8, 16: np.int16}.get(bits, np.int16))
+        elif bits == 8 and arr.dtype != np.uint8:
+            arr = arr.astype(np.uint8)
+        return arr
+
+    def _pydicom_fallback(self) -> Optional[np.ndarray]:
+        """Last resort for syntaxes we don't decode (J2K, JPEG-LS, …):
+        pydicom + its codec plugins, when installed."""
+        if self.source_path is None:
+            return None
+        try:
+            import pydicom
+        except ImportError:
+            return None
+        try:
+            return pydicom.dcmread(self.source_path).pixel_array
+        except Exception:
+            return None
+
     @property
     def pixel_array(self) -> np.ndarray:
-        """Decode uncompressed pixel data, pydicom-shaped:
+        """Decode pixel data, pydicom-shaped:
         (rows, cols), (frames, rows, cols), or (..., samples)."""
+        if self.pixel_fragments is not None:
+            if self.transfer_syntax not in _NATIVE_CODECS:
+                arr = self._pydicom_fallback()
+                if arr is not None:
+                    return arr
+                raise UnsupportedTransferSyntax(self.transfer_syntax)
+            decoded = [self._decode_frame(d) for d in self._frame_chunks()]
+            return decoded[0] if len(decoded) == 1 else np.stack(decoded)
         if self.pixel_bytes is None:
             raise DicomError("no pixel data read (header-only parse?)")
         bits = int(self.elements.get("bits_allocated", 16))
@@ -218,6 +308,30 @@ def _decode_value(name: str, vr: bytes, raw: bytes, explicit: bool):
     return text
 
 
+def _read_encapsulated(f: BinaryIO):
+    """Parse encapsulated pixel data (PS3.5 §A.4): first item = basic offset
+    table, remaining items = fragments, terminated by (FFFE,E0DD)."""
+    bot: Optional[Tuple[int, ...]] = None
+    frags = []
+    first = True
+    while True:
+        group, elem = struct.unpack("<HH", _read_exact(f, 4))
+        (length,) = struct.unpack("<I", _read_exact(f, 4))
+        if (group, elem) == (0xFFFE, 0xE0DD):
+            if length:
+                f.seek(length, 1)
+            return bot, frags
+        if (group, elem) != (0xFFFE, 0xE000):
+            raise DicomError(f"malformed encapsulated item tag ({group:04x},{elem:04x})")
+        data = _read_exact(f, length)
+        if first:
+            first = False
+            if length:
+                bot = struct.unpack(f"<{length // 4}I", data)
+        else:
+            frags.append(data)
+
+
 def read_dicom(
     path_or_file: Union[str, BinaryIO],
     stop_before_pixels: bool = False,
@@ -225,22 +339,26 @@ def read_dicom(
     """Parse a DICOM file.
 
     ``stop_before_pixels=True`` is the header-only fast path used by the
-    dimension/hash scans (reference `create_subset.py:459-463`)."""
+    dimension/hash scans (reference `create_subset.py:459-463`) — it works
+    for every transfer syntax, compressed included."""
     if isinstance(path_or_file, str):
         with open(path_or_file, "rb") as f:
-            return read_dicom(f, stop_before_pixels)
+            out = read_dicom(f, stop_before_pixels)
+            out.source_path = path_or_file
+            return out
     f = path_or_file
     ts = _parse_meta(f)
     if ts in ("", IMPLICIT_VR_LE):
         explicit = ts == ""  # bare datasets here are written explicit by us; sniff below
-    elif ts == EXPLICIT_VR_LE:
-        explicit = True
     elif ts in (EXPLICIT_VR_BE, DEFLATED_VR_LE):
-        raise UnsupportedTransferSyntax(ts)
-    elif ts.startswith("1.2.840.10008.1.2."):
+        # big-endian retired; deflated needs whole-stream inflation — neither
+        # appears in TCIA archives, header scans included
         raise UnsupportedTransferSyntax(ts)
     else:
-        explicit = True  # unknown/private: try explicit LE
+        # explicit LE and ALL encapsulated syntaxes (1.2.840.10008.1.2.4.*/.5)
+        # use explicit VR LE dataset encoding; parse proceeds for every one —
+        # codec support is decided at pixel_array time, not here
+        explicit = True
 
     if ts == IMPLICIT_VR_LE:
         explicit = False
@@ -264,11 +382,9 @@ def read_dicom(
             if stop_before_pixels:
                 break
             if length == 0xFFFFFFFF:
-                raise UnsupportedTransferSyntax(
-                    "encapsulated (compressed) pixel data; transfer syntax "
-                    f"{out.transfer_syntax!r}"
-                )
-            out.pixel_bytes = _read_exact(f, length)
+                out.basic_offset_table, out.pixel_fragments = _read_encapsulated(f)
+            else:
+                out.pixel_bytes = _read_exact(f, length)
             break
 
         if length == 0xFFFFFFFF:
@@ -312,10 +428,13 @@ def write_dicom(
     sop_instance_uid: str = "1.2.3.4",
     transfer_syntax: Optional[str] = None,
 ) -> None:
-    """Write an uncompressed little-endian part-10 DICOM file.
+    """Write a little-endian part-10 DICOM file.
 
     ``pixels``: (rows, cols) or (frames, rows, cols) of uint8/uint16/int16.
     ``extra_elements``: {(group, elem): (vr, raw_bytes)} appended in order.
+    ``transfer_syntax``: uncompressed LE by default; RLE_LOSSLESS,
+    JPEG_LOSSLESS(_SV1) and JPEG_BASELINE produce encapsulated compressed
+    pixel data (fixture/tooling path for the compressed-ingest support).
     """
     pixels = np.asarray(pixels)
     frames = 1
@@ -345,8 +464,48 @@ def write_dicom(
     body += _enc_element(0x0028, 0x0103, b"US", struct.pack("<H", signed), explicit)
     for (g, e), (vr, raw) in (extra_elements or {}).items():
         body += _enc_element(g, e, vr, raw, explicit)
-    pix_vr = b"OB" if bits == 8 else b"OW"
-    body += _enc_element(0x7FE0, 0x0010, pix_vr, pixels.tobytes(), explicit)
+
+    if ts in _NATIVE_CODECS:
+        if not explicit:
+            raise DicomError("encapsulated pixel data requires explicit VR")
+        from medical_image_segmentation_tpu.data import dicom_codecs as codecs
+
+        frame_list = pixels if pixels.ndim == 3 else pixels[None]
+        frags = []
+        for fr in frame_list:
+            if ts == RLE_LOSSLESS:
+                payload = codecs.rle_encode(fr)
+            elif ts in (JPEG_LOSSLESS, JPEG_LOSSLESS_SV1):
+                payload = codecs.jpeg_lossless_encode(
+                    fr.astype(np.uint16), precision=bits, predictor=1)
+            else:  # JPEG_BASELINE
+                import cv2
+
+                ok, buf = cv2.imencode(".jpg", fr.astype(np.uint8),
+                                       [cv2.IMWRITE_JPEG_QUALITY, 95])
+                if not ok:
+                    raise DicomError("baseline JPEG encode failed")
+                payload = buf.tobytes()
+            if len(payload) % 2:
+                payload += b"\x00"
+            frags.append(payload)
+        # basic offset table: per-frame offsets when multi-frame, empty else
+        if len(frags) > 1:
+            offs, pos = [], 0
+            for fr_b in frags:
+                offs.append(pos)
+                pos += 8 + len(fr_b)
+            bot = struct.pack(f"<{len(offs)}I", *offs)
+        else:
+            bot = b""
+        value = struct.pack("<HHI", 0xFFFE, 0xE000, len(bot)) + bot
+        for fr_b in frags:
+            value += struct.pack("<HHI", 0xFFFE, 0xE000, len(fr_b)) + fr_b
+        value += struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+        body += struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0, 0xFFFFFFFF) + value
+    else:
+        pix_vr = b"OB" if bits == 8 else b"OW"
+        body += _enc_element(0x7FE0, 0x0010, pix_vr, pixels.tobytes(), explicit)
 
     with open(path, "wb") as f:
         f.write(b"\x00" * 128 + b"DICM" + meta + body)

@@ -22,7 +22,10 @@ _LIB: Optional[ctypes.CDLL] = None
 _BUILD_FAILED = False
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
-_SRC = os.path.join(_REPO_ROOT, "csrc", "mis_loader.cpp")
+_SRCS = [
+    os.path.join(_REPO_ROOT, "csrc", "mis_loader.cpp"),
+    os.path.join(_REPO_ROOT, "csrc", "dicom_codecs.cpp"),
+]
 
 
 def _cache_dir() -> str:
@@ -32,8 +35,11 @@ def _cache_dir() -> str:
 
 
 def _build() -> Optional[str]:
-    with open(_SRC, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    h = hashlib.sha256()
+    for src in _SRCS:
+        with open(src, "rb") as f:
+            h.update(f.read())
+    digest = h.hexdigest()[:16]
     out = os.path.join(_cache_dir(), f"libmisloader-{digest}.so")
     if os.path.exists(out):
         return out
@@ -41,7 +47,7 @@ def _build() -> Optional[str]:
     # not interleave writes into one -o target before the atomic publish
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        _SRC, "-ljpeg", "-lpng", "-lz", "-pthread", "-o", tmp,
+        *_SRCS, "-ljpeg", "-lpng", "-lz", "-pthread", "-o", tmp,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
@@ -77,6 +83,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ]
+        # compressed-DICOM codecs (csrc/dicom_codecs.cpp)
+        lib.jls_probe.restype = ctypes.c_int
+        lib.jls_probe.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.jls_decode.restype = ctypes.c_int
+        lib.jls_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64,
         ]
         _LIB = lib
         return _LIB

@@ -10,6 +10,10 @@ import pytest
 from medical_image_segmentation_tpu.data.dicom import (
     EXPLICIT_VR_LE,
     IMPLICIT_VR_LE,
+    JPEG_BASELINE,
+    JPEG_LOSSLESS,
+    JPEG_LOSSLESS_SV1,
+    RLE_LOSSLESS,
     UnsupportedTransferSyntax,
     read_dicom,
     write_dicom,
@@ -69,12 +73,134 @@ class TestDicom:
         d = read_dicom(p2)
         np.testing.assert_array_equal(d.pixel_array, arr)
 
-    def test_compressed_transfer_syntax_rejected(self, tmp_path):
-        arr = np.zeros((8, 8), np.uint8)
+    def test_unsupported_codec_rejected_at_decode_only(self, tmp_path):
+        """A still-unsupported codec (J2K) must parse (header scan works) and
+        raise only when pixels are requested — the per-file error-status
+        contract of the ingest tools (reference create_subset.py:197-241)."""
+        arr = np.random.default_rng(0).integers(0, 255, size=(8, 8)).astype(np.uint8)
         p = str(tmp_path / "c.dcm")
-        write_dicom(p, arr, transfer_syntax="1.2.840.10008.1.2.4.70")  # JPEG lossless
+        write_dicom(p, arr, transfer_syntax=JPEG_LOSSLESS)
+        raw = open(p, "rb").read()
+        # patch the transfer-syntax UID to JPEG2000 (same 22-char length)
+        patched = raw.replace(JPEG_LOSSLESS.encode(), b"1.2.840.10008.1.2.4.91")
+        p2 = str(tmp_path / "j2k.dcm")
+        open(p2, "wb").write(patched)
+        d = read_dicom(p2, stop_before_pixels=True)
+        assert (d.rows, d.columns) == (8, 8)  # header scan fine
+        d = read_dicom(io.BytesIO(patched))   # no source_path → no pydicom fallback
         with pytest.raises(UnsupportedTransferSyntax):
-            read_dicom(p)
+            _ = d.pixel_array
+
+
+class TestCompressedDicom:
+    """Encapsulated pixel data (PS3.5 §A.4) + RLE / JPEG-lossless /
+    JPEG-baseline codecs — the capability the reference gets from
+    pydicom+GDCM/pylibjpeg (docker/Dockerfile:34-35)."""
+
+    @pytest.mark.parametrize("ts", [RLE_LOSSLESS, JPEG_LOSSLESS, JPEG_LOSSLESS_SV1])
+    @pytest.mark.parametrize("dtype,bits", [(np.uint8, 8), (np.uint16, 16)])
+    def test_lossless_roundtrip(self, tmp_path, ts, dtype, bits):
+        rng = np.random.default_rng(0)
+        arr = rng.integers(0, np.iinfo(dtype).max, size=(33, 41)).astype(dtype)
+        p = str(tmp_path / "c.dcm")
+        write_dicom(p, arr, transfer_syntax=ts)
+        d = read_dicom(p)
+        assert d.pixel_fragments is not None
+        np.testing.assert_array_equal(d.pixel_array.astype(np.uint32),
+                                      arr.astype(np.uint32))
+
+    def test_multiframe_rle_with_offset_table(self, tmp_path):
+        rng = np.random.default_rng(1)
+        arr = rng.integers(0, 65535, size=(4, 16, 20)).astype(np.uint16)
+        p = str(tmp_path / "mf.dcm")
+        write_dicom(p, arr, transfer_syntax=RLE_LOSSLESS)
+        d = read_dicom(p)
+        assert d.basic_offset_table is not None and len(d.basic_offset_table) == 4
+        np.testing.assert_array_equal(d.pixel_array, arr)
+
+    def test_jpeg_baseline_lossy_close(self, tmp_path):
+        base = np.full((32, 32), 120, np.uint8)
+        p = str(tmp_path / "jb.dcm")
+        write_dicom(p, base, transfer_syntax=JPEG_BASELINE)
+        arr = read_dicom(p).pixel_array
+        assert arr.shape == (32, 32)
+        assert np.abs(arr.astype(int) - base.astype(int)).max() <= 3
+
+    def test_header_scan_on_compressed(self, tmp_path):
+        arr = np.zeros((64, 48), np.uint16)
+        p = str(tmp_path / "h.dcm")
+        write_dicom(p, arr, transfer_syntax=JPEG_LOSSLESS_SV1)
+        d = read_dicom(p, stop_before_pixels=True)
+        assert (d.rows, d.columns) == (64, 48)
+
+    def test_rle_signed_pixels(self, tmp_path):
+        """CT slices are int16 with negative HU values; pixel_representation
+        must be honored after RLE decode."""
+        rng = np.random.default_rng(2)
+        arr = rng.integers(-1024, 3000, size=(20, 20)).astype(np.int16)
+        p = str(tmp_path / "s.dcm")
+        write_dicom(p, arr, transfer_syntax=RLE_LOSSLESS)
+        got = read_dicom(p).pixel_array
+        assert got.dtype == np.int16
+        np.testing.assert_array_equal(got, arr)
+
+    def test_native_matches_python_decoder(self):
+        """The C++ jls_decode must agree with the pure-Python reference
+        implementation bit-for-bit (csrc/dicom_codecs.cpp)."""
+        from medical_image_segmentation_tpu.data.dicom_codecs import (
+            jpeg_lossless_decode_py,
+            jpeg_lossless_encode,
+        )
+        from medical_image_segmentation_tpu.data.store.native import get_lib
+
+        if get_lib() is None:
+            pytest.skip("no native toolchain")
+        import ctypes
+
+        lib = get_lib()
+        rng = np.random.default_rng(3)
+        for pred in (1, 2, 4, 5, 6, 7):
+            img = rng.integers(0, 4096, size=(27, 35)).astype(np.uint16)
+            enc = jpeg_lossless_encode(img, precision=12, predictor=pred)
+            r, c, n = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
+            assert lib.jls_probe(enc, len(enc), ctypes.byref(r), ctypes.byref(c),
+                                 ctypes.byref(n)) == 0
+            assert (r.value, c.value, n.value) == (27, 35, 1)
+            out = np.empty(27 * 35, np.uint16)
+            assert lib.jls_decode(
+                enc, len(enc),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), out.size) == 0
+            np.testing.assert_array_equal(out.reshape(27, 35), img)
+            np.testing.assert_array_equal(jpeg_lossless_decode_py(enc), img)
+
+    def test_rle_fuzz_garbage_rejected(self):
+        from medical_image_segmentation_tpu.data.dicom_codecs import CodecError, rle_decode
+
+        rng = np.random.default_rng(4)
+        for _ in range(20):
+            blob = rng.bytes(rng.integers(0, 200))
+            with pytest.raises((CodecError, Exception)):
+                rle_decode(blob, 16, 16, 16)
+
+    def test_ingest_compressed_dicoms(self, tmp_path):
+        """dicom_hashes / write_subset must consume compressed DICOMs — the
+        reference ingests them via pylibjpeg (create_subset.py:197,506)."""
+        from medical_image_segmentation_tpu.data.ingest.create_subset import (
+            get_dicom_image_dimensions,
+            get_dicom_image_hashes,
+        )
+
+        rng = np.random.default_rng(5)
+        paths = []
+        for i, ts in enumerate([RLE_LOSSLESS, JPEG_LOSSLESS_SV1, EXPLICIT_VR_LE]):
+            arr = rng.integers(0, 4096, size=(300, 300)).astype(np.uint16)
+            p = str(tmp_path / f"{i}.dcm")
+            write_dicom(p, arr, transfer_syntax=ts, sop_instance_uid=f"1.2.3.{i}")
+            paths.append(p)
+        dims = get_dicom_image_dimensions(paths, num_processes=1)
+        assert all(dims[p] == [300, 300] or tuple(dims[p]) == (300, 300) for p in paths)
+        hashes = get_dicom_image_hashes(paths, num_processes=1)
+        assert len(hashes) == 3 and len(set(hashes.values())) == 3
 
     def test_sha256_stability_across_encodings(self, tmp_path):
         """Hash of pixel_array must not depend on explicit/implicit encoding
