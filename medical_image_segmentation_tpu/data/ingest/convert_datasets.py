@@ -46,6 +46,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     ap.add_argument("--max_resolution", type=int, default=None)
     ap.add_argument("--raw", action="store_true")
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--num_workers", type=int,
+                    default=int(os.environ.get("SLURM_CPUS_PER_TASK", os.cpu_count() or 1)),
+                    help="parallel encode workers (DatasetWriter num_workers parity)")
     args = ap.parse_args(argv)
 
     os.makedirs(args.output_dir, exist_ok=True)
@@ -58,7 +61,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             ds = _CifarArrays(args.data_root, args.dataset, train)
             out = os.path.join(args.output_dir, f"{args.dataset}_{res or 32}_{split}.mis")
             n = write_store_from_dataset(out, ds, channels=3, codec=CODEC_RAW,
-                                         max_resolution=args.max_resolution)
+                                         max_resolution=args.max_resolution,
+                                         num_processes=args.num_workers)
             print(f"{split}: {n} → {out}", file=sys.stderr)
     elif args.dataset == "nih_chest_x_ray":
         from medical_image_segmentation_tpu.data.datasets import ChestXRayDataset
@@ -68,7 +72,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         ds = ChestXRayDataset(args.data_root, args.csv_path, limit=args.limit)
         out = os.path.join(args.output_dir, f"nih_chest_x_ray_{res}_test.mis")
         n = write_store_from_dataset(out, ds, channels=1, codec=codec,
-                                     max_resolution=args.max_resolution)
+                                     max_resolution=args.max_resolution,
+                                     num_processes=args.num_workers)
         print(f"{n} → {out} ({ds.num_classes} classes)", file=sys.stderr)
     elif args.dataset == "imagefolder":
         # torchvision-ImageFolder layout: <root>/<class_name>/*.png|jpg —
@@ -103,7 +108,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         ds = FolderDS()
         out = os.path.join(args.output_dir, f"imagefolder_{res}_train.mis")
         n = write_store_from_dataset(out, ds, channels=3, codec=codec,
-                                     max_resolution=args.max_resolution)
+                                     max_resolution=args.max_resolution,
+                                     num_processes=args.num_workers)
         print(f"{n} → {out} ({len(classes)} classes)", file=sys.stderr)
     else:  # radiology_1M
         from medical_image_segmentation_tpu.data.datasets import Radiology1MDataset
@@ -111,7 +117,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         ds = Radiology1MDataset(args.data_root, limit=args.limit)
         out = os.path.join(args.output_dir, f"radiology_1M_{res}_train.mis")
         n = write_store_from_dataset(out, ds, channels=1, codec=codec,
-                                     max_resolution=args.max_resolution)
+                                     max_resolution=args.max_resolution,
+                                     num_processes=args.num_workers)
         print(f"{n} → {out}", file=sys.stderr)
     return 0
 

@@ -55,25 +55,61 @@ def dicom_to_uint8(path: str, max_resolution: Optional[int]) -> np.ndarray:
     return (arr * 255.0).astype(np.uint8)[..., None]
 
 
+def _encode_dicom_worker(path: str, max_resolution: Optional[int], codec: int, quality: int):
+    """Pool worker: decode + resize + compress one DICOM; per-file errors
+    become statuses, not crashes (reference fault tolerance,
+    `create_subset.py:197-241`). Returns (payload, h, w, error)."""
+    from medical_image_segmentation_tpu.data.store.writer import _encode
+
+    try:
+        img = dicom_to_uint8(path, max_resolution)
+        payload = _encode(img[..., 0], codec, quality)
+        return payload, img.shape[0], img.shape[1], None
+    except Exception as e:
+        return None, 0, 0, f"{type(e).__name__}: {e}"
+
+
 def build_store(
     paths: Sequence[str],
     output: str,
     max_resolution: int = 224,
     codec: int = CODEC_JPEG,
     quality: int = 90,
+    num_workers: int = 1,
 ) -> int:
+    """``num_workers > 1`` runs decode→resize→compress in a worker pool; the
+    parent assembles records in path order, so the output is byte-identical
+    to the serial build (the `DatasetWriter(num_workers)` role,
+    reference `create_ffcv_subset.py:100-104`)."""
     n_ok = 0
     with StoreWriter(output, channels=1, with_labels=False) as w:
-        for i, p in enumerate(paths):
-            try:
-                img = dicom_to_uint8(p, max_resolution)
-            except Exception as e:
-                print(f"skip {p}: {type(e).__name__}: {e}", file=sys.stderr)
-                continue
-            w.add(img, codec=codec, quality=quality)
-            n_ok += 1
-            if n_ok % 1000 == 0:
-                print(f"\r{n_ok}/{len(paths)}", end="", file=sys.stderr)
+        if num_workers > 1:
+            import concurrent.futures as cf
+            from functools import partial
+
+            fn = partial(_encode_dicom_worker, max_resolution=max_resolution,
+                         codec=codec, quality=quality)
+            with cf.ProcessPoolExecutor(max_workers=num_workers) as pool:
+                for p, (payload, h, wd, err) in zip(
+                    paths, pool.map(fn, paths, chunksize=16)
+                ):
+                    if err is not None:
+                        print(f"skip {p}: {err}", file=sys.stderr)
+                        continue
+                    w.add_encoded(payload, h, wd, codec=codec)
+                    n_ok += 1
+                    if n_ok % 1000 == 0:
+                        print(f"\r{n_ok}/{len(paths)}", end="", file=sys.stderr)
+        else:
+            for p in paths:
+                payload, h, wd, err = _encode_dicom_worker(p, max_resolution, codec, quality)
+                if err is not None:
+                    print(f"skip {p}: {err}", file=sys.stderr)
+                    continue
+                w.add_encoded(payload, h, wd, codec=codec)
+                n_ok += 1
+                if n_ok % 1000 == 0:
+                    print(f"\r{n_ok}/{len(paths)}", end="", file=sys.stderr)
     print(f"\nwrote {n_ok} images → {output}", file=sys.stderr)
     return n_ok
 
@@ -129,6 +165,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     ap.add_argument("--raw", action="store_true", help="store raw uint8 instead of JPEG")
     ap.add_argument("--jpeg_quality", type=int, default=90)
     ap.add_argument("--test", action="store_true", help="100-image smoke mode")
+    ap.add_argument("--num_workers", type=int,
+                    default=int(os.environ.get("SLURM_CPUS_PER_TASK", os.cpu_count() or 1)),
+                    help="parallel decode/encode workers")
     args = ap.parse_args(argv)
 
     codec = CODEC_RAW if args.raw else CODEC_JPEG
@@ -147,7 +186,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         ap.error("one of --subset_map / --dicom_dir / --png_dir is required")
     if args.test:
         paths = paths[:100]
-    build_store(paths, args.output, args.max_resolution, codec, args.jpeg_quality)
+    build_store(paths, args.output, args.max_resolution, codec, args.jpeg_quality,
+                num_workers=args.num_workers)
     return 0
 
 

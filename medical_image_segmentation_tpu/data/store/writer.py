@@ -81,20 +81,26 @@ class StoreWriter:
         if img.dtype != np.uint8:
             raise ValueError(f"store holds uint8 images, got {img.dtype}")
         payload = _encode(img if img.shape[-1] > 1 else img[..., 0], codec, quality)
+        self.add_encoded(payload, img.shape[0], img.shape[1], label=label, codec=codec)
+
+    def add_encoded(self, payload: bytes, height: int, width: int,
+                    label: int = 0, codec: int = CODEC_RAW) -> None:
+        """Append a pre-encoded payload (the parallel-writer path: workers
+        encode, the parent assembles in index order)."""
         pad = (-self._data_pos) % ALIGN
         self._tmp_data.write(b"\x00" * pad)
         self._data_pos += pad
         self.records.append(
             SampleRecord(
                 offset=self._data_pos, length=len(payload),
-                height=img.shape[0], width=img.shape[1], channels=self.channels,
+                height=height, width=width, channels=self.channels,
                 codec=codec, label=int(label),
             )
         )
         self._tmp_data.write(payload)
         self._data_pos += len(payload)
-        self.max_h = max(self.max_h, img.shape[0])
-        self.max_w = max(self.max_w, img.shape[1])
+        self.max_h = max(self.max_h, height)
+        self.max_w = max(self.max_w, width)
 
     def close(self) -> None:
         self._tmp_data.close()
@@ -127,6 +133,40 @@ class StoreWriter:
         self.close()
 
 
+# fork-inherited worker state (Linux): set in the parent right before the
+# pool spawns so child processes see the dataset without pickling it —
+# the same trick FFCV's DatasetWriter uses for its worker pool
+# (`create_ffcv_subset.py:100-104` passes num_workers)
+_WORKER_CTX: dict = {}
+
+
+def _encode_chunk(chunk: Sequence[int]):
+    ds = _WORKER_CTX["dataset"]
+    max_res = _WORKER_CTX["max_resolution"]
+    codec = _WORKER_CTX["codec"]
+    quality = _WORKER_CTX["quality"]
+    channels = _WORKER_CTX["channels"]
+    out = []
+    for i in chunk:
+        item = ds[i]
+        if isinstance(item, tuple):
+            img, label = item
+            labeled = True
+        else:
+            img, label = item, 0
+            labeled = False
+        img = _maybe_resize(np.asarray(img), max_res)
+        if img.ndim == 2:
+            img = img[..., None]
+        if img.shape[-1] != channels:
+            raise ValueError(f"expected {channels} channels, got {img.shape}")
+        if img.dtype != np.uint8:
+            raise ValueError(f"store holds uint8 images, got {img.dtype}")
+        payload = _encode(img if img.shape[-1] > 1 else img[..., 0], codec, quality)
+        out.append((payload, img.shape[0], img.shape[1], int(label), labeled))
+    return out
+
+
 def write_store_from_dataset(
     path: str,
     dataset,                      # __len__ + __getitem__ → img | (img, label)
@@ -138,18 +178,42 @@ def write_store_from_dataset(
     indices: Optional[Sequence[int]] = None,
 ) -> int:
     """Build a store from an indexed dataset (the `DatasetWriter.
-    from_indexed_dataset` equivalent). Returns the number of samples written."""
+    from_indexed_dataset` equivalent). Returns the number of samples written.
+
+    ``num_processes > 1`` encodes (decode→resize→JPEG) in a worker pool while
+    the parent assembles records in index order — the output is byte-identical
+    to the serial path."""
     idxs = list(indices) if indices is not None else list(range(len(dataset)))
     with_labels = False
     with StoreWriter(path, channels=channels, with_labels=True) as w:
-        for i in idxs:
-            item = dataset[i]
-            if isinstance(item, tuple):
-                img, label = item
-                with_labels = True
-            else:
-                img, label = item, 0
-            img = _maybe_resize(np.asarray(img), max_resolution)
-            w.add(img, label=label, codec=codec, quality=quality)
+        if num_processes > 1 and len(idxs) > 1:
+            import concurrent.futures as cf
+
+            _WORKER_CTX.update(
+                dataset=dataset, max_resolution=max_resolution,
+                codec=codec, quality=quality, channels=channels,
+            )
+            try:
+                chunk_size = max(1, min(64, len(idxs) // (num_processes * 4) or 1))
+                chunks = [idxs[s : s + chunk_size] for s in range(0, len(idxs), chunk_size)]
+                with cf.ProcessPoolExecutor(max_workers=num_processes) as pool:
+                    # executor.map preserves chunk order → records land in
+                    # index order, matching the serial writer byte-for-byte
+                    for results in pool.map(_encode_chunk, chunks):
+                        for payload, h, wdt, label, labeled in results:
+                            with_labels = with_labels or labeled
+                            w.add_encoded(payload, h, wdt, label=label, codec=codec)
+            finally:
+                _WORKER_CTX.clear()
+        else:
+            for i in idxs:
+                item = dataset[i]
+                if isinstance(item, tuple):
+                    img, label = item
+                    with_labels = True
+                else:
+                    img, label = item, 0
+                img = _maybe_resize(np.asarray(img), max_resolution)
+                w.add(img, label=label, codec=codec, quality=quality)
         w.with_labels = with_labels
     return len(idxs)

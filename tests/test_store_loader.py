@@ -84,6 +84,30 @@ class TestStoreRoundtrip:
         r = StoreReader(p)
         np.testing.assert_array_equal(r[3][0], data[3][0])
 
+    @pytest.mark.parametrize("codec", [CODEC_RAW, CODEC_JPEG])
+    def test_parallel_write_byte_identical(self, tmp_path, codec):
+        """num_processes>1 must produce the SAME bytes as the serial path
+        (workers encode, parent assembles in index order)."""
+        rng = np.random.default_rng(3)
+        data = [
+            (rng.integers(0, 255, size=(16 + i % 3, 16, 1)).astype(np.uint8), i % 4)
+            for i in range(23)
+        ]
+
+        class DS:
+            def __len__(self):
+                return len(data)
+
+            def __getitem__(self, i):
+                return data[i]
+
+        p1, p4 = str(tmp_path / "serial.mis"), str(tmp_path / "par.mis")
+        n1 = write_store_from_dataset(p1, DS(), channels=1, codec=codec, num_processes=1)
+        n4 = write_store_from_dataset(p4, DS(), channels=1, codec=codec, num_processes=4)
+        assert n1 == n4 == 23
+        with open(p1, "rb") as a, open(p4, "rb") as b:
+            assert a.read() == b.read()
+
     def test_max_resolution_downscales(self, tmp_path):
         class DS:
             def __len__(self):
