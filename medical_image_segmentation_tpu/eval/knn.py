@@ -64,21 +64,20 @@ class KNNEvaluator:
         train_batches: Iterable[Tuple[np.ndarray, np.ndarray]],
         val_batches: Iterable[Tuple[np.ndarray, np.ndarray]],
     ) -> float:
+        """Batches may be host numpy arrays (single-process) or GLOBAL jax
+        arrays already placed on the mesh (multi-host — feed the loaders
+        through ``device_put_sharded_batches``). With global inputs the bank
+        is a device-sharded global array, the similarity matmul against it is
+        a sharded contraction XLA resolves with ICI collectives (the
+        reference's NCCL all_gather of the bank, `knn.py:114-117`, happens
+        inside XLA instead of on the host), and the accuracy reduction yields
+        a replicated scalar every host can read."""
         feats, labels = [], []
         for x, y in train_batches:
-            feats.append(np.asarray(_l2_normalize(embed_fn(jnp.asarray(x)).astype(jnp.float32))))
-            labels.append(np.asarray(y))
-        bank = np.concatenate(feats)
-        bank_labels = np.concatenate(labels)
-        if jax.process_count() > 1:
-            # assemble the FULL bank from every host's shard (the reference's
-            # NCCL all_gather, knn.py:114-117)
-            from jax.experimental import multihost_utils
-
-            bank = np.asarray(multihost_utils.process_allgather(bank)).reshape(-1, bank.shape[-1])
-            bank_labels = np.asarray(multihost_utils.process_allgather(bank_labels)).reshape(-1)
-        bank = jnp.asarray(bank)
-        bank_labels = jnp.asarray(bank_labels)
+            feats.append(_l2_normalize(embed_fn(jnp.asarray(x)).astype(jnp.float32)))
+            labels.append(jnp.asarray(y))
+        bank = jnp.concatenate(feats)
+        bank_labels = jnp.concatenate(labels)
 
         correct = total = 0
         for x, y in val_batches:
@@ -86,15 +85,6 @@ class KNNEvaluator:
                 embed_fn(jnp.asarray(x)), bank, bank_labels, self.num_classes,
                 k=self.k, temperature=self.temperature,
             )
-            pred = np.asarray(jnp.argmax(scores, -1))
-            correct += int((pred == np.asarray(y)).sum())
-            total += len(pred)
-        if jax.process_count() > 1:
-            # aggregate over every host's val shard so all hosts report the
-            # same global accuracy
-            from jax.experimental import multihost_utils
-
-            agg = np.asarray(multihost_utils.process_allgather(
-                np.array([correct, total], np.int64))).reshape(-1, 2).sum(axis=0)
-            correct, total = int(agg[0]), int(agg[1])
+            correct += int(jnp.sum(jnp.argmax(scores, -1) == jnp.asarray(y)))
+            total += int(np.shape(y)[0])
         return correct / max(total, 1)

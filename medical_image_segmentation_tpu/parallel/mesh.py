@@ -45,6 +45,16 @@ def initialize_distributed() -> None:
     global _DISTRIBUTED_DONE
     if _DISTRIBUTED_DONE:
         return
+    # MIS_FORCE_CPU_DEVICES=N: force an N-device virtual CPU backend via
+    # config updates. Env vars (JAX_PLATFORMS / XLA_FLAGS) are NOT enough on
+    # hosts whose sitecustomize registers a TPU plugin and hooks platform
+    # canonicalization; pre-init config updates still win (the
+    # tests/conftest.py and __graft_entry__ recipe). This is the contract the
+    # multi-process CLI tests use to get a REAL multihost CPU mesh.
+    n_force = int(os.environ.get("MIS_FORCE_CPU_DEVICES", "0"))
+    if n_force:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", n_force)
     ntasks = int(os.environ.get("SLURM_NTASKS", "1"))
     in_slurm = ntasks > 1 and "SLURM_PROCID" in os.environ
     in_pod = "MEGASCALE_COORDINATOR_ADDRESS" in os.environ or "TPU_WORKER_HOSTNAMES" in os.environ and len(

@@ -59,6 +59,15 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     ap.add_argument("--checkpoint_path", default=None)
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--fp32", dest="bf16", action="store_false")
+    ap.add_argument("--aug_recipe", default=None, choices=["ffcv", "torchvision"],
+                    help="SSL view pipeline: the reference's FFCV recipe (default) or its "
+                         "torchvision variant with ColorJitter+GaussianBlur "
+                         "(lightning_module.py:39-64)")
+    ap.add_argument("--window_prob", type=float, default=None,
+                    help="random CT re-windowing probability (0 = reference parity)")
+    ap.add_argument("--profile", type=int, default=0, metavar="N",
+                    help="trace the first N steps with jax.profiler into <log_dir>/trace "
+                         "and print per-stage loader timers each epoch")
     return ap.parse_args(argv)
 
 
@@ -96,8 +105,14 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     n_dev = len(jax.devices())
     proc, nproc = jax.process_index(), jax.process_count()
     is_main = proc == 0
+    print(f"process {proc}/{nproc}: {n_dev} global devices ({jax.default_backend()})",
+          file=sys.stderr)
 
     dm = get_datamodule(args.dataset)()
+    if args.aug_recipe is not None:
+        dm.aug_recipe = args.aug_recipe
+    if args.window_prob is not None:
+        dm.window_prob = args.window_prob
     per_host_batch = args.batch_size // nproc
     train_loader = dm.train_loader(per_host_batch, num_threads=args.num_workers,
                                    seed=args.seed, shard=(proc, nproc), distributed=nproc > 1)
@@ -156,13 +171,16 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     mean, std = tuple(dm.train_mean), tuple(dm.train_std)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
 
-    # grayscale, blur-free configs take the fused Pallas kernel; RGB / blur
-    # configs take the XLA matmul path (same math, see ops/pallas_augment.py)
+    # configs whose every enabled augmentation the fused Pallas kernel
+    # implements take it; anything else (RGB, blur, jitter, CT windowing, or
+    # future ViewConfig fields) takes the XLA matmul path — the gate fails
+    # safe so no enabled augmentation is ever silently dropped
+    from medical_image_segmentation_tpu.ops.pallas_augment import pallas_supported
+
     use_pallas = (
-        dm.channels == 1
-        and jax.default_backend() == "tpu"
-        and cfg1.blur_prob == 0.0 and cfg2.blur_prob == 0.0
-        and cfg1.jitter_prob == 0.0 and cfg2.jitter_prob == 0.0
+        jax.default_backend() == "tpu"
+        and pallas_supported(cfg1, dm.channels)
+        and pallas_supported(cfg2, dm.channels)
     )
 
     has_labels = getattr(dm, "has_train_labels", True)
@@ -195,13 +213,21 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     signal.signal(signal.SIGTERM, _request_stop)
     signal.signal(signal.SIGINT, _request_stop)
 
-    def _stop_agreed(step_idx: int) -> bool:
+    STOP_SYNC_EVERY = 20
+
+    def _stop_agreed(step_idx: int = -1, at_epoch_end: bool = False) -> bool:
         """Multi-host runs must agree on stopping — a lone host exiting
-        leaves peers blocked in the next collective. Any-host signal wins;
-        synced every 20 steps to bound the collective overhead."""
+        leaves peers blocked in the next collective. Any-host signal wins.
+
+        CRITICAL: every host must enter the allgather at the SAME points, or
+        a signaled host's allgather pairs against its peers' train-step psums
+        and the pod deadlocks. So the local flag never changes whether a host
+        enters the collective — all hosts sync at fixed step boundaries
+        (every 20 steps, ≤20-step stop latency) and at epoch end, both of
+        which are lockstep across hosts (loader shards are equalized)."""
         if nproc == 1:
             return stop_requested["flag"]
-        if step_idx % 20 != 19 and not stop_requested["flag"]:
+        if not at_epoch_end and step_idx % STOP_SYNC_EVERY != STOP_SYNC_EVERY - 1:
             return False
         from jax.experimental import multihost_utils
 
@@ -214,6 +240,16 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             path = save_checkpoint(args.checkpoint_dir, jax.device_get(state), int(np.asarray(state.step)))
             print(f"checkpoint → {path}", file=sys.stderr)
 
+    # --profile N: jax.profiler trace of the first N steps (SURVEY §5.1 —
+    # the reference has no profiling at all) + per-stage loader timers
+    profile_left = args.profile if is_main else 0
+    profiling = False
+    if profile_left:
+        trace_dir = os.path.join(args.log_dir, "trace")
+        jax.profiler.start_trace(trace_dir)
+        profiling = True
+        print(f"profiling {profile_left} steps → {trace_dir}", file=sys.stderr)
+
     for epoch in range(start_epoch, args.max_epochs):
         t0 = time.time()
         n_imgs = 0
@@ -224,11 +260,23 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             key = jax.random.fold_in(key, 1)
             state, metrics = train_step(state, imgs, labels, key)
             n_imgs += args.batch_size
+            if profiling:
+                profile_left -= 1
+                if profile_left <= 0:
+                    float(metrics["loss"])  # fence so the trace captures real work
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    print("profiler trace written", file=sys.stderr)
             if _stop_agreed(i):
                 _checkpoint()
                 return 0
             if logger and (i % 50 == 0):
                 logger.log({k: float(v) for k, v in metrics.items()}, step=int(np.asarray(state.step)), epoch=epoch)
+        # epoch-end sync: catches signals in epochs shorter than the step
+        # boundary (every host reaches here after the same batch count)
+        if _stop_agreed(at_epoch_end=True):
+            _checkpoint()
+            return 0
         if metrics:
             # fence on a metric value (block_until_ready is unreliable on axon)
             last_loss = float(metrics["loss"])
@@ -240,6 +288,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                     f"lr={float(metrics['lr']):.4f} tau={float(metrics['momentum']):.5f}",
                     file=sys.stderr,
                 )
+                if args.profile:
+                    print(f"loader stages (epoch {epoch}):\n{train_loader.timers.report()}",
+                          file=sys.stderr)
 
         if args.val_every_epochs and (epoch + 1) % args.val_every_epochs == 0:
             try:
@@ -266,10 +317,13 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                                               seed=args.seed, shard=(proc, nproc))
                 val_loader = dm.val_loader(per_host_batch, num_threads=args.num_workers, shard=(proc, nproc))
                 ev = KNNEvaluator(num_classes=dm.NUM_CLASSES)
+                # feed mesh-global arrays: state is committed to the mesh, so
+                # host-local batches would raise "incompatible devices" on
+                # multi-host — the same device feed the train/val paths use
                 acc = ev.evaluate(
-                    lambda x: task.embed_step(state, _val_preprocess(jnp.asarray(x), dm)),
-                    iter(bank_loader),
-                    iter(val_loader),
+                    lambda x: task.embed_step(state, _val_preprocess(x, dm)),
+                    device_put_sharded_batches(bank_loader, mesh),
+                    device_put_sharded_batches(val_loader, mesh),
                 )
                 if is_main:
                     print(f"epoch {epoch}: online_knn_val_acc={acc:.4f}", file=sys.stderr)

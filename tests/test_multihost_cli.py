@@ -36,6 +36,10 @@ def test_train_ssl_two_processes(tmp_path):
         env = dict(os.environ)
         env.pop("XLA_FLAGS", None)
         env.update({
+            # env-var platform forcing is defeated on hosts whose
+            # sitecustomize hooks platform canonicalization; the CLI's
+            # MIS_FORCE_CPU_DEVICES contract uses pre-init config updates
+            "MIS_FORCE_CPU_DEVICES": "2",
             "JAX_PLATFORMS": "cpu",
             "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
             "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
@@ -50,14 +54,98 @@ def test_train_ssl_two_processes(tmp_path):
              "--hidden_dim", "32", "--projection_dim", "8",
              "--limit_steps_per_epoch", "2", "--num_workers", "1", "--fp32",
              "--checkpoint_dir", ckpt_dir, "--log_dir", str(tmp_path / f"logs{i}"),
-             "--warmup_epochs", "1"],
+             "--warmup_epochs", "1", "--knn_every_epochs", "1"],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
         ))
     outs = [p.communicate(timeout=560)[0] for p in procs]
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-4000:]}"
+    # genuine multihost: each process reports its rank over a 4-device mesh
+    assert "process 0/2: 4 global devices" in outs[0], outs[0][-2000:]
+    assert "process 1/2: 4 global devices" in outs[1], outs[1][-2000:]
     # only process 0 logs/checkpoints
     assert "epoch 0: loss=" in outs[0]
+    assert "epoch 0: loss=" not in outs[1]
     assert "val/acc@1" in outs[0]
+    assert "online_knn_val_acc" in outs[0]
     steps = [d for d in os.listdir(ckpt_dir) if d.isdigit()]
     assert steps, f"no checkpoint written:\n{outs[0][-2000:]}"
+
+
+def test_train_ssl_preemption_sigterm_one_host(tmp_path):
+    """SIGTERM exactly ONE of two hosts mid-epoch: the stop must be agreed
+    at a lockstep collective boundary (every host enters the allgather at the
+    same step indices) so the unsignaled peer exits cleanly instead of
+    wedging in a mismatched collective — the DDP teardown contract
+    (reference `train_ssl.py:87`)."""
+    import signal
+    import threading
+    import time
+
+    from medical_image_segmentation_tpu.data.store import StoreWriter
+
+    rng = np.random.default_rng(1)
+    # 640 samples / 2 hosts / per-host batch 8 → 40 steps per epoch, so each
+    # epoch crosses the 20-step stop-sync boundary twice
+    with StoreWriter(str(tmp_path / "train.mis"), channels=3, with_labels=True) as w:
+        for i in range(640):
+            w.add(rng.integers(0, 256, size=(16, 16, 3)).astype(np.uint8), label=i % 4)
+
+    port = _free_port()
+    ckpt_dir = str(tmp_path / "ckpt")
+    procs, readers, lines = [], [], [[], []]
+    for i in range(2):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env.update({
+            "MIS_FORCE_CPU_DEVICES": "2",
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+            "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(i),
+            "CIFAR10_TRAIN_STORE": str(tmp_path / "train.mis"),
+        })
+        p = subprocess.Popen(
+            [sys.executable, "-m", "medical_image_segmentation_tpu.train.train_ssl",
+             "--dataset", "CIFAR10", "--batch_size", "16", "--max_epochs", "200",
+             "--hidden_dim", "32", "--projection_dim", "8",
+             "--num_workers", "1", "--fp32", "--val_every_epochs", "0",
+             "--checkpoint_dir", ckpt_dir, "--log_dir", str(tmp_path / f"logs{i}"),
+             "--checkpoint_every_epochs", "0", "--warmup_epochs", "1"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
+        )
+        procs.append(p)
+
+        def reader(pipe, sink):
+            for line in pipe:
+                sink.append(line)
+
+        t = threading.Thread(target=reader, args=(p.stdout, lines[i]), daemon=True)
+        t.start()
+        readers.append(t)
+
+    # wait for proof both processes joined one 4-device mesh, then
+    # wait until host 0 reports the first epoch (training loop is live and
+    # past compilation), then signal ONLY host 1
+    deadline = time.time() + 400
+    while time.time() < deadline:
+        if any("epoch 0: loss=" in ln for ln in lines[0]) and any(
+                "process 1/2: 4 global devices" in ln for ln in lines[1]):
+            break
+        for p in procs:
+            assert p.poll() is None, f"proc died early:\n{''.join(lines[0])[-3000:]}\n{''.join(lines[1])[-3000:]}"
+        time.sleep(0.25)
+    else:
+        raise AssertionError(f"never saw epoch 0 finish:\n{''.join(lines[0])[-3000:]}")
+    procs[1].send_signal(signal.SIGTERM)
+
+    for i, p in enumerate(procs):
+        rc = p.wait(timeout=300)
+        assert rc == 0, f"proc {i} rc={rc}:\n{''.join(lines[i])[-4000:]}"
+    for t in readers:
+        t.join(timeout=10)
+    out1 = "".join(lines[1])
+    assert "signal 15" in out1, out1[-2000:]
+    steps = [d for d in os.listdir(ckpt_dir) if d.isdigit()]
+    assert steps, f"no preemption checkpoint written:\n{''.join(lines[0])[-2000:]}"
