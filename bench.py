@@ -4,9 +4,16 @@ Workload = the reference's canonical SSL pretrain config
 (`scripts/train/train_ssl_pl_test`: BYOL resnet18, 112^2 crops) fed from
 256^2 stored uint8 grayscale images (BASELINE.json north-star shape).
 
+Two modes:
+- default: device-resident batch (isolates aug+train — the device ceiling);
+- ``--store PATH`` (or ``--store auto`` to synthesize one): feeds a real MIS
+  store through the C++ decode loader + prefetch thread + ``device_put``
+  double-buffering — the full input pipeline in the loop (the reference's
+  FFCV os_cache path, `lightning_module.py:141-151`).
+
 Prints ONE JSON line:
   {"metric": "aug_train_images_per_sec_per_chip", "value": N,
-   "unit": "images/sec/chip", "vs_baseline": N / 5000.0}
+   "unit": "images/sec/chip", "vs_baseline": N / 5000.0, "mfu": ...}
 (baseline = the 5k img/s/chip north-star target from BASELINE.json; the
 reference itself publishes no numbers — BASELINE.md).
 """
@@ -22,6 +29,47 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# bf16 peak FLOP/s per chip by device kind (public TPU specs)
+_PEAK_FLOPS = {
+    "tpu v4": 275e12,
+    "tpu v5 lite": 197e12,
+    "tpu v5e": 197e12,
+    "tpu v5": 459e12,
+    "tpu v5p": 459e12,
+    "tpu v6 lite": 918e12,
+    "tpu v6e": 918e12,
+}
+
+
+def _peak_flops_per_chip() -> float | None:
+    kind = jax.devices()[0].device_kind.lower()
+    for k, v in sorted(_PEAK_FLOPS.items(), key=lambda kv: -len(kv[0])):
+        if k in kind:
+            return v
+    return None
+
+
+def _step_flops(jitted, *args) -> float | None:
+    """FLOPs of one compiled step from XLA's cost analysis (fwd+bwd+update)."""
+    try:
+        an = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(an, (list, tuple)):
+            an = an[0]
+        f = float(an.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def _make_auto_store(path: str, n: int, size: int, codec_name: str) -> None:
+    from medical_image_segmentation_tpu.data.store import CODEC_JPEG, CODEC_RAW, StoreWriter
+
+    codec = CODEC_JPEG if codec_name == "jpeg" else CODEC_RAW
+    rng = np.random.default_rng(0)
+    with StoreWriter(path, channels=1) as w:
+        for _ in range(n):
+            w.add(rng.integers(0, 256, size=(size, size, 1)).astype(np.uint8), codec=codec)
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -31,6 +79,16 @@ def main():
     ap.add_argument("--arch", default="resnet18")
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--store", default=None,
+                    help="feed from a real MIS store through the C++ loader "
+                         "('auto' synthesizes one); default: device-resident batch")
+    ap.add_argument("--store_codec", default="jpeg", choices=["jpeg", "raw"],
+                    help="codec for --store auto")
+    ap.add_argument("--store_images", type=int, default=4096, help="size of --store auto")
+    ap.add_argument("--num_threads", type=int, default=0,
+                    help="loader decode threads (0 = host cpu count)")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of the timed steps to DIR")
     args = ap.parse_args()
 
     from medical_image_segmentation_tpu.ops.augment import BYOL_VIEW1, BYOL_VIEW2
@@ -55,11 +113,6 @@ def main():
     state = task.init(jax.random.key(0), (2, args.crop_size, args.crop_size, 1))
     state = jax.device_put(state, replicated(mesh))
 
-    rng = np.random.default_rng(0)
-    raw = shard_batch(
-        mesh,
-        rng.integers(0, 256, size=(args.batch_size, args.image_size, args.image_size, 1)).astype(np.uint8),
-    )
     import dataclasses
     cfg1 = dataclasses.replace(BYOL_VIEW1, out_size=(args.crop_size, args.crop_size))
     cfg2 = dataclasses.replace(BYOL_VIEW2, out_size=(args.crop_size, args.crop_size))
@@ -71,33 +124,105 @@ def main():
         v1, v2 = pallas_two_view_augment(key, raw, cfg1, cfg2)
         return task.train_step(state, v1, v2)
 
+    rng = np.random.default_rng(0)
+    probe = shard_batch(
+        mesh,
+        rng.integers(0, 256, size=(args.batch_size, args.image_size, args.image_size, 1)).astype(np.uint8),
+    )
     key = jax.random.key(1)
+
+    mode = "device" if args.store is None else "store"
+    loader = None
+    tmpdir = None
+    if mode == "store":
+        import os
+        import tempfile
+
+        store_path = args.store
+        if store_path == "auto":
+            tmpdir = tempfile.mkdtemp()
+            store_path = os.path.join(tmpdir, "bench.mis")
+            _make_auto_store(store_path, args.store_images, args.image_size, args.store_codec)
+            print(f"synthetic {args.store_codec} store: "
+                  f"{os.path.getsize(store_path)/1e6:.1f} MB, {args.store_images} images",
+                  file=sys.stderr)
+        from medical_image_segmentation_tpu.data.loader import (
+            RANDOM, Loader, device_put_sharded_batches,
+        )
+
+        loader = Loader(
+            store_path, args.batch_size, order=RANDOM,
+            num_threads=args.num_threads or (os.cpu_count() or 4),
+            out_hw=(args.image_size, args.image_size),
+        )
+        if loader.channels != 1:
+            raise SystemExit("bench expects a grayscale (1-channel) store")
+
+        def batches():
+            while True:  # loop epochs; each gets a fresh permutation
+                yield from device_put_sharded_batches(loader, mesh)
+
+        feed = batches()
+
+        def next_batch():
+            imgs, _ = next(feed)
+            return imgs
+    else:
+        def next_batch():
+            return probe
+
     for i in range(args.warmup):
-        state, metrics = step(state, raw, jax.random.fold_in(key, i))
+        state, metrics = step(state, next_batch(), jax.random.fold_in(key, i))
     # NOTE: on the axon remote-TPU platform jax.block_until_ready returns
     # before execution finishes; a host value transfer is the only reliable
     # fence, so we fetch the loss scalar to close each timing section.
     float(metrics["loss"])
 
-    t0 = time.perf_counter()
-    for i in range(args.steps):
-        state, metrics = step(state, raw, jax.random.fold_in(key, 100 + i))
-    final_loss = float(metrics["loss"])
-    dt = time.perf_counter() - t0
+    from medical_image_segmentation_tpu.core.profiling import trace_if
+
+    with trace_if(args.profile or "", enabled=bool(args.profile)):
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            state, metrics = step(state, next_batch(), jax.random.fold_in(key, 100 + i))
+        final_loss = float(metrics["loss"])
+        dt = time.perf_counter() - t0
 
     imgs_per_sec = args.batch_size * args.steps / dt
     per_chip = imgs_per_sec / n_chips
+    # cost analysis AFTER timing: the AOT lower().compile() disturbs the
+    # subsequent jit dispatch path on the axon remote platform (measured
+    # 78 ms/step → 1.7 s/step when done up front)
+    flops = _step_flops(step, state, probe, key)
+    peak = _peak_flops_per_chip()
+    mfu = None
+    if flops and peak:
+        mfu = round(flops * args.steps / dt / (peak * n_chips), 4)
     print(
-        f"loss={final_loss:.4f} total={imgs_per_sec:.0f} img/s "
-        f"({dt/args.steps*1e3:.1f} ms/step)",
+        f"[{mode}] loss={final_loss:.4f} total={imgs_per_sec:.0f} img/s "
+        f"({dt/args.steps*1e3:.1f} ms/step)"
+        + (f" step_flops={flops/1e9:.1f} GF mfu={mfu:.1%}" if mfu is not None else ""),
         file=sys.stderr,
     )
-    print(json.dumps({
+    out = {
         "metric": "aug_train_images_per_sec_per_chip",
         "value": round(per_chip, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / 5000.0, 3),
-    }))
+        "mode": mode,
+        "mfu": mfu,
+    }
+    if mode == "store":
+        out["loader_gbytes_per_sec"] = round(
+            imgs_per_sec * args.image_size * args.image_size / 1e9, 3)
+        if loader is not None and loader.timers is not None:
+            print(loader.timers.report(), file=sys.stderr)
+    print(json.dumps(out))
+    if loader is not None:
+        loader.close()
+    if tmpdir is not None:
+        import shutil
+
+        shutil.rmtree(tmpdir, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -56,12 +56,27 @@ class SSLDataModule:
     val_std: Tuple[float, ...] = (63.46,)     # lightning_module.py:240
     train_store: Optional[str] = None
     val_store: Optional[str] = None
+    # augmentation recipe: "ffcv" = the reference's canonical FFCV pipeline
+    # (lightning_module.py:67-98, no blur/jitter); "torchvision" = the
+    # BYOLRGBDataTransforms variant (:39-64, ColorJitter + GaussianBlur k=23)
+    aug_recipe: str = "ffcv"
+    # random CT re-windowing probability (PAPERS.md CT-augmentation recipes;
+    # 0 = reference parity)
+    window_prob: float = 0.0
 
     def view_configs(self) -> Tuple[ViewConfig, ViewConfig]:
+        from medical_image_segmentation_tpu.ops.augment import BYOL_TV_VIEW1, BYOL_TV_VIEW2
+
+        if self.aug_recipe == "torchvision":
+            v1, v2 = BYOL_TV_VIEW1, BYOL_TV_VIEW2
+        elif self.aug_recipe == "ffcv":
+            v1, v2 = BYOL_VIEW1, BYOL_VIEW2
+        else:
+            raise ValueError(f"unknown aug_recipe {self.aug_recipe!r} (ffcv|torchvision)")
         size = (self.crop_size, self.crop_size)
         return (
-            dataclasses.replace(BYOL_VIEW1, out_size=size),
-            dataclasses.replace(BYOL_VIEW2, out_size=size),
+            dataclasses.replace(v1, out_size=size, window_prob=self.window_prob),
+            dataclasses.replace(v2, out_size=size, window_prob=self.window_prob),
         )
 
     def train_loader(self, batch_size: int, num_threads: int = 8, seed: int = 0,

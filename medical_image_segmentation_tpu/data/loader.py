@@ -146,6 +146,13 @@ class Loader:
         self.shard = shard
         self.prefetch = prefetch
         self.epoch = 0
+        # per-stage wall timers (SURVEY §5.1 — the reference has none);
+        # "decode" accumulates on the prefetch thread, "h2d" on the consumer
+        # via device_put_sharded_batches, so decode/compute overlap shows up
+        # as decode-total ≈ wall while h2d stays small
+        from medical_image_segmentation_tpu.core.profiling import StageTimers
+
+        self.timers = StageTimers()
 
         self._native = None
         self._reader = None
@@ -222,7 +229,9 @@ class Loader:
     def __iter__(self):
         def gen():
             for idxs in self._batches():
-                yield self._fetch(idxs)
+                with self.timers.stage("decode"):
+                    batch = self._fetch(idxs)
+                yield batch
 
         yield from prefetch_iter(gen, self.prefetch)
 
@@ -239,16 +248,21 @@ def device_put_sharded_batches(loader, mesh=None, axis: str = "data"):
     (non_blocking) analogue of the reference pipeline,
     `lightning_module.py:92-95`). Multi-host aware: per-host shards are
     assembled into global arrays (see `parallel.mesh.shard_batch`)."""
+    import contextlib
+
     import jax
 
     from medical_image_segmentation_tpu.parallel.mesh import shard_batch
 
+    timers = getattr(loader, "timers", None)
+
     def put(batch):
-        imgs, labels = batch
-        if mesh is None:
-            return jax.device_put(imgs), jax.device_put(labels)
-        out = shard_batch(mesh, {"i": imgs, "l": labels}, axis)
-        return out["i"], out["l"]
+        with timers.stage("h2d") if timers is not None else contextlib.nullcontext():
+            imgs, labels = batch
+            if mesh is None:
+                return jax.device_put(imgs), jax.device_put(labels)
+            out = shard_batch(mesh, {"i": imgs, "l": labels}, axis)
+            return out["i"], out["l"]
 
     it = iter(loader)
     try:
@@ -296,12 +310,17 @@ class PairedLoader:
     def __len__(self):
         return len(self._imgs)
 
+    @property
+    def timers(self):
+        return self._imgs.timers
+
     def _pairs(self):
         # one index stream drives both stores (same seed/epoch → same order,
         # but we fetch by explicit indices to be immune to loader drift)
         for idxs in self._imgs._batches():
-            imgs, _ = self._imgs._fetch(idxs)
-            msks, _ = self._msks._fetch(idxs)
+            with self.timers.stage("decode"):
+                imgs, _ = self._imgs._fetch(idxs)
+                msks, _ = self._msks._fetch(idxs)
             yield imgs, msks.astype(np.float32)
 
     def __iter__(self):

@@ -92,6 +92,39 @@ def sample_view_params(rng: jax.Array, batch: int, in_h: int, in_w: int,
     return jnp.pad(params, ((0, 0), (0, pad)))
 
 
+# ViewConfig fields the kernel implements (crop/flip/solarize/normalize) or
+# that carry parameters for them. Every OTHER field must be at its inert
+# value or the config MUST take the XLA path — a silent drop of an enabled
+# augmentation is a correctness bug, not a fallback.
+_IMPLEMENTED_FIELDS = {
+    "out_size", "crop_scale", "crop_ratio", "hflip_prob",
+    "solarize_prob", "solarize_threshold",
+    "grayscale_prob",  # identity on the 1-channel images this kernel takes
+}
+_PARAM_ONLY_FIELDS = {"blur_kernel", "window_level_range", "window_width_range"}
+_MUST_BE_ZERO = {"blur_prob", "jitter_prob", "brightness", "contrast",
+                 "saturation", "window_prob"}
+
+
+def pallas_supported(cfg: ViewConfig, channels: int = 1) -> bool:
+    """True iff the fused kernel implements EVERY enabled augmentation in
+    ``cfg``. Fails safe: a ViewConfig field this gate does not know about
+    (added later, not implemented in the kernel) returns False."""
+    if channels != 1:
+        return False
+    import dataclasses as _dc
+
+    for f in _dc.fields(cfg):
+        if f.name in _IMPLEMENTED_FIELDS or f.name in _PARAM_ONLY_FIELDS:
+            continue
+        if f.name in _MUST_BE_ZERO:
+            if getattr(cfg, f.name) != 0.0:
+                return False
+        else:
+            return False  # unknown field — refuse rather than silently drop
+    return True
+
+
 @partial(jax.jit, static_argnames=("cfg1", "cfg2", "mean", "std", "dtype", "interpret"))
 def pallas_two_view_augment(
     rng: jax.Array,
@@ -104,6 +137,12 @@ def pallas_two_view_augment(
     interpret: bool = False,
 ):
     """Drop-in replacement for `two_view_augment` on grayscale batches."""
+    for cfg in (cfg1, cfg2):
+        if not pallas_supported(cfg, channels=1):
+            raise ValueError(
+                f"view config enables augmentations the fused kernel does not "
+                f"implement ({cfg}); route through ops.augment.two_view_augment"
+            )
     if images.ndim == 4:
         if images.shape[-1] != 1:
             raise ValueError("pallas augment kernel is single-channel; use the XLA path for RGB")

@@ -56,6 +56,9 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     ap.add_argument("--limit_steps_per_epoch", type=int, default=0)
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--fp32", dest="bf16", action="store_false")
+    ap.add_argument("--profile", type=int, default=0, metavar="N",
+                    help="trace the first N steps with jax.profiler into <log_dir>/trace "
+                         "and print per-stage loader timers each epoch")
     return ap.parse_args(argv)
 
 
@@ -146,6 +149,14 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     logger = CSVMetricsLogger(args.log_dir) if is_main else None
     key = jax.random.key(args.seed + 1)
 
+    profile_left = args.profile if is_main else 0
+    profiling = False
+    if profile_left:
+        trace_dir = os.path.join(args.log_dir, "trace")
+        jax.profiler.start_trace(trace_dir)
+        profiling = True
+        print(f"profiling {profile_left} steps -> {trace_dir}", file=sys.stderr)
+
     for epoch in range(args.max_epochs):
         t0 = time.time()
         metrics = {}
@@ -157,10 +168,20 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             b = shard_batch(mesh, {"i": imgs, "m": msks})
             state, metrics = train_step(state, b["i"], b["m"], key)
             n_imgs += args.batch_size
+            if profiling:
+                profile_left -= 1
+                if profile_left <= 0:
+                    float(metrics["train/loss"])  # fence so the trace captures real work
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    print("profiler trace written", file=sys.stderr)
         if metrics:
             loss = float(metrics["train/loss"])  # host fence
             if is_main:
                 print(f"epoch {epoch}: train/loss={loss:.4f} {n_imgs/(time.time()-t0):.0f} img/s", file=sys.stderr)
+                if args.profile and hasattr(train_loader, "timers"):
+                    print(f"loader stages (epoch {epoch}):\n{train_loader.timers.report()}",
+                          file=sys.stderr)
                 logger.log({k: float(v) for k, v in metrics.items()},
                            step=int(np.asarray(state.step)), epoch=epoch)
         val = run_eval("val")
