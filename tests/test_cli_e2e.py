@@ -35,6 +35,7 @@ def workspace(tmp_path_factory):
     return ws
 
 
+@pytest.mark.slow
 def test_full_pipeline(workspace, monkeypatch):
     ws = workspace
     from medical_image_segmentation_tpu.data.ingest import create_subset, create_store, slice_decathlon, create_splits

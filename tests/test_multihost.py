@@ -23,6 +23,7 @@ def _free_port() -> int:
     return port
 
 
+@pytest.mark.slow
 def test_two_process_distributed(tmp_path):
     from medical_image_segmentation_tpu.data.store import StoreWriter
 

@@ -10,6 +10,9 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-process jax CPU runs: minutes each on a 1-core host
 
 
 def _free_port() -> int:

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from medical_image_segmentation_tpu.eval.sliding_window import (
     _blend_weights,
@@ -60,6 +61,7 @@ class TestSlidingWindow:
 
 
 class TestDiceCE:
+    @pytest.mark.slow
     def test_dice_ce_loss_larger_than_dice(self):
         from medical_image_segmentation_tpu.train import SegmentationTask
 

@@ -5,10 +5,13 @@ numbers exactly."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from medical_image_segmentation_tpu.parallel import make_mesh, replicated
 from medical_image_segmentation_tpu.parallel.mesh import spatial_sharding
 from medical_image_segmentation_tpu.train import SegmentationTask
+
+pytestmark = pytest.mark.slow  # GSPMD halo-exchange equivalence: compile-heavy on a 1-core host
 
 
 def test_spatially_sharded_step_matches_unsharded():

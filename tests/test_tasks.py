@@ -4,6 +4,7 @@ a virtual 8-device mesh, KNN/linear probes, SSL→segmentation handoff."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from medical_image_segmentation_tpu.core.checkpoint import load_byol_encoder_into_unet
 from medical_image_segmentation_tpu.eval import KNNEvaluator, LinearProbe, knn_predict
@@ -23,6 +24,7 @@ def _seg_task(**kw):
 
 
 class TestSegmentationTask:
+    @pytest.mark.slow
     def test_overfits_tiny_batch(self):
         task = _seg_task()
         state = task.init(jax.random.key(0), (2, 32, 32, 1))
@@ -102,6 +104,7 @@ class TestShardedExecution:
         state, metrics = task.train_step(state, batch["images"], batch["masks"])
         assert np.isfinite(float(metrics["train/loss"]))
 
+    @pytest.mark.slow
     def test_sharded_bn_matches_single_device(self):
         """Global BN stats under a sharded batch == unsharded run (sync-BN)."""
         mesh = make_mesh()
@@ -185,6 +188,7 @@ class TestHandoff:
 
 
 class TestCheckpointRoundtrip:
+    @pytest.mark.slow
     def test_byol_state_save_restore(self, tmp_path):
         from medical_image_segmentation_tpu.core.checkpoint import (
             latest_step,
