@@ -21,7 +21,14 @@ import orbax.checkpoint as ocp
 
 
 def save_checkpoint(ckpt_dir: str, state: Any, step: int) -> str:
-    """Save a pytree checkpoint at ``<ckpt_dir>/<step>``."""
+    """Save a pytree checkpoint at ``<ckpt_dir>/<step>``.
+
+    COLLECTIVE in multiprocess runs: orbax's save path issues cross-process
+    barriers (it allgathers inside ``Checkpointer.save``), so when
+    ``jax.process_count() > 1`` EVERY process must call this at the same
+    program point, passing the global ``jax.Array`` state (not a
+    ``device_get`` copy). Orbax enforces the single-writer discipline
+    internally (primary host writes replicated chunks)."""
     path = os.path.join(os.path.abspath(ckpt_dir), str(step))
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state, force=True)

@@ -194,8 +194,13 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         print("test: " + " ".join(f"{k}={v:.4f}" for k, v in test.items()), file=sys.stderr)
         logger.log(test, step=int(np.asarray(state.step)), epoch=args.max_epochs)
 
+    # COLLECTIVE: orbax's save runs cross-process barriers/allgathers, so
+    # every host must call it — a host-0-only save deadlocks the pod (see
+    # train_ssl._checkpoint). This is a lockstep point: all hosts finish the
+    # epoch loop after the same batch count.
+    payload = jax.device_get(state) if nproc == 1 else state
+    path = save_checkpoint(args.checkpoint_dir, payload, int(np.asarray(state.step)))
     if is_main:
-        path = save_checkpoint(args.checkpoint_dir, jax.device_get(state), int(np.asarray(state.step)))
         print(f"checkpoint → {path}", file=sys.stderr)
 
     if args.full_res_window and is_main:

@@ -213,7 +213,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     signal.signal(signal.SIGTERM, _request_stop)
     signal.signal(signal.SIGINT, _request_stop)
 
-    STOP_SYNC_EVERY = 20
+    # stop-sync cadence: every host enters the agreement collective at the
+    # same step boundaries. Env-overridable so slow-host tests can use a
+    # short interval; the lockstep property is interval-independent.
+    STOP_SYNC_EVERY = int(os.environ.get("MIS_STOP_SYNC_EVERY", "20"))
 
     def _stop_agreed(step_idx: int = -1, at_epoch_end: bool = False) -> bool:
         """Multi-host runs must agree on stopping — a lone host exiting
@@ -236,8 +239,15 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         return bool(flags.sum() > 0)
 
     def _checkpoint():
+        # COLLECTIVE: orbax's save runs cross-process barriers/allgathers
+        # internally, so every host must call it — a host-0-only save pairs
+        # orbax's allgather against the peers' next train-step collectives
+        # and wedges the pod (verified: gloo GetKeyValue timeout). The
+        # single-writer discipline lives inside orbax, not here. All call
+        # sites are lockstep points (agreed stop, epoch boundaries).
+        payload = jax.device_get(state) if nproc == 1 else state
+        path = save_checkpoint(args.checkpoint_dir, payload, int(np.asarray(state.step)))
         if is_main:
-            path = save_checkpoint(args.checkpoint_dir, jax.device_get(state), int(np.asarray(state.step)))
             print(f"checkpoint → {path}", file=sys.stderr)
 
     # --profile N: jax.profiler trace of the first N steps (SURVEY §5.1 —

@@ -135,3 +135,30 @@ def test_full_pipeline(workspace, monkeypatch):
     assert csvs
     header = open(csvs[0]).readline()
     assert "train/loss" in header
+
+
+@pytest.mark.slow
+def test_train_ssl_torchvision_recipe_smoke(tmp_path, monkeypatch):
+    """--aug_recipe torchvision end-to-end: the ColorJitter+GaussianBlur
+    pipeline (reference lightning_module.py:39-64) must route through the
+    XLA augmentation path (Pallas gate refuses blur) and train."""
+    import numpy as np
+
+    from medical_image_segmentation_tpu.data.store import StoreWriter
+    from medical_image_segmentation_tpu.train.train_ssl import main
+
+    rng = np.random.default_rng(0)
+    for name, n in (("train.mis", 32), ("val.mis", 16)):
+        with StoreWriter(str(tmp_path / name), channels=3, with_labels=True) as w:
+            for i in range(n):
+                w.add(rng.integers(0, 256, size=(24, 24, 3)).astype(np.uint8), label=i % 4)
+    monkeypatch.setenv("CIFAR10_TRAIN_STORE", str(tmp_path / "train.mis"))
+    monkeypatch.setenv("CIFAR10_VAL_STORE", str(tmp_path / "val.mis"))
+    rc = main([
+        "--dataset", "CIFAR10", "--batch_size", "16", "--max_epochs", "1",
+        "--hidden_dim", "16", "--projection_dim", "8", "--num_workers", "1",
+        "--fp32", "--limit_steps_per_epoch", "1", "--warmup_epochs", "1",
+        "--aug_recipe", "torchvision", "--window_prob", "0.5",
+        "--checkpoint_dir", str(tmp_path / "ckpt"), "--log_dir", str(tmp_path / "logs"),
+    ])
+    assert rc == 0
