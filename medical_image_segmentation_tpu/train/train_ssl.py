@@ -65,6 +65,10 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
                          "(lightning_module.py:39-64)")
     ap.add_argument("--window_prob", type=float, default=None,
                     help="random CT re-windowing probability (0 = reference parity)")
+    ap.add_argument("--model_parallel", type=int, default=1, metavar="N",
+                    help="tensor-parallel degree for the MLP heads: devices form a "
+                         "(data, model) mesh and the projector/predictor are "
+                         "Megatron-sharded (parallel/tp.py); 1 = pure data parallel")
     ap.add_argument("--profile", type=int, default=0, metavar="N",
                     help="trace the first N steps with jax.profiler into <log_dir>/trace "
                          "and print per-stage loader timers each epoch")
@@ -97,12 +101,20 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     from medical_image_segmentation_tpu.train.byol_task import BYOLTask
 
     initialize_distributed()
-    mesh = make_mesh()
-    if args.batch_size % len(jax.devices()) != 0:
-        raise SystemExit(
-            f"--batch_size {args.batch_size} must be divisible by the device count {len(jax.devices())}"
-        )
     n_dev = len(jax.devices())
+    mp = args.model_parallel
+    if mp > 1:
+        if n_dev % mp != 0:
+            raise SystemExit(f"--model_parallel {mp} must divide the device count {n_dev}")
+        if args.hidden_dim % mp != 0:
+            raise SystemExit(f"--hidden_dim {args.hidden_dim} must be divisible by --model_parallel {mp}")
+        mesh = make_mesh(axis_names=("data", "model"), axis_sizes=(n_dev // mp, mp))
+    else:
+        mesh = make_mesh()
+    if args.batch_size % n_dev != 0:
+        raise SystemExit(
+            f"--batch_size {args.batch_size} must be divisible by the device count {n_dev}"
+        )
     proc, nproc = jax.process_index(), jax.process_count()
     is_main = proc == 0
     print(f"process {proc}/{nproc}: {n_dev} global devices ({jax.default_backend()})",
@@ -134,7 +146,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     )
     sample = (2, dm.crop_size, dm.crop_size, dm.channels)
     state = task.init(jax.random.key(args.seed), sample)
-    state = jax.device_put(state, replicated(mesh))
+    if mp > 1:
+        from medical_image_segmentation_tpu.parallel import byol_tp_shardings
+
+        state = jax.device_put(state, byol_tp_shardings(mesh, state, args.hidden_dim))
+    else:
+        state = jax.device_put(state, replicated(mesh))
 
     if args.run_single_validation:
         path = args.checkpoint_path

@@ -162,3 +162,30 @@ def test_train_ssl_torchvision_recipe_smoke(tmp_path, monkeypatch):
         "--checkpoint_dir", str(tmp_path / "ckpt"), "--log_dir", str(tmp_path / "logs"),
     ])
     assert rc == 0
+
+
+@pytest.mark.slow
+def test_train_ssl_model_parallel_smoke(tmp_path, monkeypatch):
+    """--model_parallel 2 on the 8-device CPU mesh: (4 data, 2 model) mesh,
+    Megatron-sharded MLP heads through the real entry point."""
+    import numpy as np
+
+    from medical_image_segmentation_tpu.data.store import StoreWriter
+    from medical_image_segmentation_tpu.train.train_ssl import main
+
+    rng = np.random.default_rng(0)
+    with StoreWriter(str(tmp_path / "train.mis"), channels=3, with_labels=True) as w:
+        for i in range(32):
+            w.add(rng.integers(0, 256, size=(24, 24, 3)).astype(np.uint8), label=i % 4)
+    monkeypatch.setenv("CIFAR10_TRAIN_STORE", str(tmp_path / "train.mis"))
+    rc = main([
+        "--dataset", "CIFAR10", "--batch_size", "16", "--max_epochs", "1",
+        "--hidden_dim", "16", "--projection_dim", "8", "--num_workers", "1",
+        "--fp32", "--limit_steps_per_epoch", "1", "--warmup_epochs", "1",
+        "--model_parallel", "2", "--val_every_epochs", "0",
+        "--checkpoint_dir", str(tmp_path / "ckpt"), "--log_dir", str(tmp_path / "logs"),
+    ])
+    assert rc == 0
+    import os
+
+    assert any(d.isdigit() for d in os.listdir(tmp_path / "ckpt"))
