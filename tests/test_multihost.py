@@ -36,6 +36,10 @@ def test_two_process_distributed(tmp_path):
     runner = os.path.join(os.path.dirname(__file__), "_multihost_runner.py")
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # runner sets its own device count
+    # the runner is invoked as a script (sys.path[0] = tests/), so the repo
+    # root must be on PYTHONPATH — don't depend on an editable install
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep * bool(env.get("PYTHONPATH", "")) + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, runner, str(i), str(port), store],

@@ -156,3 +156,61 @@ def test_train_ssl_preemption_sigterm_one_host(tmp_path):
     assert "signal 15" in out1, out1[-2000:]
     steps = [d for d in os.listdir(ckpt_dir) if d.isdigit()]
     assert steps, f"no preemption checkpoint written:\n{''.join(lines[0])[-2000:]}"
+
+
+def test_train_segmentation_two_processes(tmp_path):
+    """The segmentation entry point as TWO coordinated processes: sharded
+    train loaders, the jitted step over a 4-device mesh, lockstep eval on
+    both hosts, and the COLLECTIVE final checkpoint (orbax barriers need
+    every host, train_segmentation.py)."""
+    from medical_image_segmentation_tpu.data.nifti import write_nifti
+    from medical_image_segmentation_tpu.data.ingest import create_splits, slice_decathlon
+
+    rng = np.random.default_rng(0)
+    (tmp_path / "imagesTr").mkdir()
+    (tmp_path / "labelsTr").mkdir()
+    for v in range(8):
+        vol = rng.normal(100, 40, size=(64, 64, 4)).astype(np.float32)
+        seg = np.zeros((64, 64, 4), np.uint8)
+        seg[20:40, 20:40, :] = 1
+        write_nifti(str(tmp_path / "imagesTr" / f"la_{v:03d}.nii.gz"), vol)
+        write_nifti(str(tmp_path / "labelsTr" / f"la_{v:03d}.nii.gz"), seg)
+    img_out = str(tmp_path / "img")
+    msk_out = str(tmp_path / "msk")
+    assert slice_decathlon.main([
+        "--images_dir", str(tmp_path / "imagesTr"), "--labels_dir", str(tmp_path / "labelsTr"),
+        "--images_out", img_out, "--masks_out", msk_out, "--num_processes", "1"]) == 0
+    assert create_splits.main(["--images_dir", img_out, "--output_dir", str(tmp_path / "splits")]) == 0
+
+    port = _free_port()
+    ckpt_dir = str(tmp_path / "ckpt")
+    procs = []
+    for i in range(2):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env.update({
+            "MIS_FORCE_CPU_DEVICES": "2",
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+            "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(i),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "medical_image_segmentation_tpu.train.train_segmentation",
+             "--dataset", "DECATHLON_HEART", "--images_dir", img_out, "--masks_dir", msk_out,
+             "--split_file", str(tmp_path / "splits" / "split_100_percent_train.json"),
+             "--batch_size", "4", "--max_epochs", "2", "--warmup_epochs", "0",
+             "--image_size", "64", "--num_workers", "1", "--fp32",
+             "--checkpoint_dir", ckpt_dir, "--log_dir", str(tmp_path / f"logs{i}")],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
+        ))
+    outs = [p.communicate(timeout=560)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-4000:]}"
+    assert "epoch 0: train/loss=" in outs[0]
+    assert "epoch 0: train/loss=" not in outs[1]
+    assert "val/dice=" in outs[0]
+    assert "test: " in outs[0]
+    steps = [d for d in os.listdir(ckpt_dir) if d.isdigit()]
+    assert steps, f"no checkpoint written:\n{outs[0][-2000:]}"
