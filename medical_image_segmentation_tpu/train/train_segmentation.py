@@ -149,13 +149,22 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     logger = CSVMetricsLogger(args.log_dir) if is_main else None
     key = jax.random.key(args.seed + 1)
 
-    profile_left = args.profile if is_main else 0
-    profiling = False
-    if profile_left:
+    prof = {"left": args.profile if is_main else 0, "on": False}
+    if prof["left"]:
         trace_dir = os.path.join(args.log_dir, "trace")
         jax.profiler.start_trace(trace_dir)
-        profiling = True
-        print(f"profiling {profile_left} steps -> {trace_dir}", file=sys.stderr)
+        prof["on"] = True
+        print(f"profiling {prof['left']} steps -> {trace_dir}", file=sys.stderr)
+
+    def _stop_profile(fence=None):
+        """Stop + flush the trace from every exit path — a run shorter than
+        --profile N must still write the artifact (see train_ssl)."""
+        if prof["on"]:
+            if fence is not None:
+                float(fence)  # host fence so the trace captures real work
+            jax.profiler.stop_trace()
+            prof["on"] = False
+            print("profiler trace written", file=sys.stderr)
 
     for epoch in range(args.max_epochs):
         t0 = time.time()
@@ -168,13 +177,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             b = shard_batch(mesh, {"i": imgs, "m": msks})
             state, metrics = train_step(state, b["i"], b["m"], key)
             n_imgs += args.batch_size
-            if profiling:
-                profile_left -= 1
-                if profile_left <= 0:
-                    float(metrics["train/loss"])  # fence so the trace captures real work
-                    jax.profiler.stop_trace()
-                    profiling = False
-                    print("profiler trace written", file=sys.stderr)
+            if prof["on"]:
+                prof["left"] -= 1
+                if prof["left"] <= 0:
+                    _stop_profile(metrics["train/loss"])
         if metrics:
             loss = float(metrics["train/loss"])  # host fence
             if is_main:
@@ -189,6 +195,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             print(f"epoch {epoch}: " + " ".join(f"{k}={v:.4f}" for k, v in val.items()), file=sys.stderr)
             logger.log(val, step=int(np.asarray(state.step)), epoch=epoch)
 
+    _stop_profile()
     test = run_eval("test")
     if test and is_main:
         print("test: " + " ".join(f"{k}={v:.4f}" for k, v in test.items()), file=sys.stderr)

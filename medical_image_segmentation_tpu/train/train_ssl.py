@@ -269,13 +269,22 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
     # --profile N: jax.profiler trace of the first N steps (SURVEY §5.1 —
     # the reference has no profiling at all) + per-stage loader timers
-    profile_left = args.profile if is_main else 0
-    profiling = False
-    if profile_left:
+    prof = {"left": args.profile if is_main else 0, "on": False}
+    if prof["left"]:
         trace_dir = os.path.join(args.log_dir, "trace")
         jax.profiler.start_trace(trace_dir)
-        profiling = True
-        print(f"profiling {profile_left} steps → {trace_dir}", file=sys.stderr)
+        prof["on"] = True
+        print(f"profiling {prof['left']} steps → {trace_dir}", file=sys.stderr)
+
+    def _stop_profile(fence=None):
+        """Stop + flush the trace. Called from every exit path — a run
+        shorter than --profile N must still write the artifact."""
+        if prof["on"]:
+            if fence is not None:
+                float(fence)  # host fence so the trace captures real work
+            jax.profiler.stop_trace()
+            prof["on"] = False
+            print("profiler trace written", file=sys.stderr)
 
     for epoch in range(start_epoch, args.max_epochs):
         t0 = time.time()
@@ -287,14 +296,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             key = jax.random.fold_in(key, 1)
             state, metrics = train_step(state, imgs, labels, key)
             n_imgs += args.batch_size
-            if profiling:
-                profile_left -= 1
-                if profile_left <= 0:
-                    float(metrics["loss"])  # fence so the trace captures real work
-                    jax.profiler.stop_trace()
-                    profiling = False
-                    print("profiler trace written", file=sys.stderr)
+            if prof["on"]:
+                prof["left"] -= 1
+                if prof["left"] <= 0:
+                    _stop_profile(metrics["loss"])
             if _stop_agreed(i):
+                _stop_profile()
                 _checkpoint()
                 return 0
             if logger and (i % 50 == 0):
@@ -302,6 +309,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         # epoch-end sync: catches signals in epochs shorter than the step
         # boundary (every host reaches here after the same batch count)
         if _stop_agreed(at_epoch_end=True):
+            _stop_profile()
             _checkpoint()
             return 0
         if metrics:
@@ -361,6 +369,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         if args.checkpoint_every_epochs and (epoch + 1) % args.checkpoint_every_epochs == 0:
             _checkpoint()
 
+    _stop_profile()
     return 0
 
 
