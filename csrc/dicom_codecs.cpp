@@ -163,7 +163,9 @@ int parse(const uint8_t* buf, int64_t len, Frame* f) {
         if (th > 3) return 5;
         int nsym = 0;
         for (int l = 0; l < 16; ++l) nsym += seg[p + 1 + l];
-        if (p + 17 + nsym > segn) return 5;
+        // sum(counts) > 256 would index decode() past symbols[256] — the
+        // Python reference decoder raises for the same corrupt stream
+        if (nsym > 256 || p + 17 + nsym > segn) return 5;
         f->huff[th].build(seg + p + 1, seg + p + 17, nsym);
         p += 17 + nsym;
       }
@@ -177,6 +179,7 @@ int parse(const uint8_t* buf, int64_t len, Frame* f) {
       for (int c = 0; c < ns; ++c) {
         int cid = seg[1 + 2 * c];
         int td = seg[2 + 2 * c] >> 4;
+        if (td > 3) return 6;  // huff[] has 4 slots; Td is attacker data
         bool found = false;
         for (int k = 0; k < f->ncomp; ++k) {
           if (comp_ids[k] == cid) { f->comp_table[k] = td; found = true; }

@@ -287,6 +287,8 @@ def jpeg_lossless_decode_py(data: bytes) -> np.ndarray:
                 tc_th = seg[p]
                 counts = list(seg[p + 1 : p + 17])
                 nsym = sum(counts)
+                if nsym > 256:  # T.81 limit; also the C++ decoder's bound
+                    raise CodecError(f"DHT declares {nsym} symbols (max 256)")
                 symbols = list(seg[p + 17 : p + 17 + nsym])
                 huff[tc_th & 0x0F] = _Huffman(counts, symbols)
                 p += 17 + nsym
@@ -299,7 +301,10 @@ def jpeg_lossless_decode_py(data: bytes) -> np.ndarray:
                 cid, tdta = seg[1 + 2 * c : 3 + 2 * c]
                 if cid not in comp_ids:
                     raise CodecError("scan component not in frame")
-                tables.append(huff[tdta >> 4])
+                td = tdta >> 4
+                if td not in huff:
+                    raise CodecError(f"scan references undefined Huffman table {td}")
+                tables.append(huff[td])
             predictor = seg[1 + 2 * ns]  # Ss = predictor selection value
             pt = seg[3 + 2 * ns] & 0x0F  # Al = point transform
             scan = (ns, tables, predictor, pt, data[i + seglen :])
@@ -471,32 +476,33 @@ def jpeg_lossless_encode(
     # lengths grow just enough to stay prefix-decodable (canonical Kraft)
     order = sorted(present, key=lambda s: -int(hist[s]))
     lengths = {}
-    # smallest canonical set: k symbols need lengths with sum(2^-l) <= 1
-    ln, cap = 1, 2
+    # canonical length assignment with a RESERVED leaf: T.81 requires that
+    # no codeword be all 1-bits (padding disambiguation, Annex K.2), so the
+    # prefix set must stay incomplete — at each level take the most symbols
+    # that still leave >= remaining+1 leaves reachable at depth 16
     remaining = len(order)
     idx = 0
-    while remaining:
-        take = 1 if remaining > cap // 2 or cap == 1 else remaining
-        # keep it simple and always valid: put one symbol per level until the
-        # last level, which takes everything left (complete prefix set)
-        if remaining <= cap:
-            for s in order[idx:]:
-                lengths[s] = ln
-            remaining = 0
-        else:
-            lengths[order[idx]] = ln
-            idx += 1
-            remaining -= 1
-            cap = (cap - 1) * 2
-            ln += 1
-        if ln > 16:
-            raise CodecError("Huffman length overflow")
+    cap = 2
+    for ln in range(1, 17):
+        if not remaining:
+            break
+        t = 0
+        for cand in range(min(remaining, cap), -1, -1):
+            if (cap - cand) * (1 << (16 - ln)) >= remaining - cand + 1:
+                t = cand
+                break
+        for s in order[idx:idx + t]:
+            lengths[s] = ln
+        idx += t
+        remaining -= t
+        cap = (cap - t) * 2
+    if remaining:
+        raise CodecError("Huffman length overflow")
     counts = [0] * 16
     by_len = sorted(lengths.items(), key=lambda kv: (kv[1], kv[0]))
     symbols = [s for s, _l in by_len]
     for _s, l in by_len:
         counts[l - 1] += 1
-    htab = _Huffman(counts, symbols)
     codes = {}
     code = 0
     k = 0

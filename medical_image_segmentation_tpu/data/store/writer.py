@@ -188,6 +188,7 @@ def write_store_from_dataset(
     with StoreWriter(path, channels=channels, with_labels=True) as w:
         if num_processes > 1 and len(idxs) > 1:
             import concurrent.futures as cf
+            import multiprocessing
 
             _WORKER_CTX.update(
                 dataset=dataset, max_resolution=max_resolution,
@@ -196,7 +197,13 @@ def write_store_from_dataset(
             try:
                 chunk_size = max(1, min(64, len(idxs) // (num_processes * 4) or 1))
                 chunks = [idxs[s : s + chunk_size] for s in range(0, len(idxs), chunk_size)]
-                with cf.ProcessPoolExecutor(max_workers=num_processes) as pool:
+                # _WORKER_CTX reaches workers by fork inheritance — request
+                # the fork start method explicitly (spawn/forkserver defaults
+                # elsewhere would give workers an empty context)
+                with cf.ProcessPoolExecutor(
+                    max_workers=num_processes,
+                    mp_context=multiprocessing.get_context("fork"),
+                ) as pool:
                     # executor.map preserves chunk order → records land in
                     # index order, matching the serial writer byte-for-byte
                     for results in pool.map(_encode_chunk, chunks):

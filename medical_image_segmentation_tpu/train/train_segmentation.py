@@ -149,22 +149,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     logger = CSVMetricsLogger(args.log_dir) if is_main else None
     key = jax.random.key(args.seed + 1)
 
-    prof = {"left": args.profile if is_main else 0, "on": False}
-    if prof["left"]:
-        trace_dir = os.path.join(args.log_dir, "trace")
-        jax.profiler.start_trace(trace_dir)
-        prof["on"] = True
-        print(f"profiling {prof['left']} steps -> {trace_dir}", file=sys.stderr)
+    from medical_image_segmentation_tpu.core.profiling import StepProfiler
 
-    def _stop_profile(fence=None):
-        """Stop + flush the trace from every exit path — a run shorter than
-        --profile N must still write the artifact (see train_ssl)."""
-        if prof["on"]:
-            if fence is not None:
-                float(fence)  # host fence so the trace captures real work
-            jax.profiler.stop_trace()
-            prof["on"] = False
-            print("profiler trace written", file=sys.stderr)
+    prof = StepProfiler(args.profile if is_main else 0, args.log_dir)
 
     for epoch in range(args.max_epochs):
         t0 = time.time()
@@ -177,16 +164,14 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             b = shard_batch(mesh, {"i": imgs, "m": msks})
             state, metrics = train_step(state, b["i"], b["m"], key)
             n_imgs += args.batch_size
-            if prof["on"]:
-                prof["left"] -= 1
-                if prof["left"] <= 0:
-                    _stop_profile(metrics["train/loss"])
+            prof.tick(metrics["train/loss"])  # fence only consumed when stopping
         if metrics:
             loss = float(metrics["train/loss"])  # host fence
             if is_main:
                 print(f"epoch {epoch}: train/loss={loss:.4f} {n_imgs/(time.time()-t0):.0f} img/s", file=sys.stderr)
                 if args.profile and hasattr(train_loader, "timers"):
-                    print(f"loader stages (epoch {epoch}):\n{train_loader.timers.report()}",
+                    print(f"loader stages (epoch {epoch}):\n"
+                          f"{train_loader.timers.report(reset=True)}",
                           file=sys.stderr)
                 logger.log({k: float(v) for k, v in metrics.items()},
                            step=int(np.asarray(state.step)), epoch=epoch)
@@ -195,7 +180,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             print(f"epoch {epoch}: " + " ".join(f"{k}={v:.4f}" for k, v in val.items()), file=sys.stderr)
             logger.log(val, step=int(np.asarray(state.step)), epoch=epoch)
 
-    _stop_profile()
+    prof.stop()
     test = run_eval("test")
     if test and is_main:
         print("test: " + " ".join(f"{k}={v:.4f}" for k, v in test.items()), file=sys.stderr)

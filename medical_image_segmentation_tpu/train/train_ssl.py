@@ -269,22 +269,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
     # --profile N: jax.profiler trace of the first N steps (SURVEY §5.1 —
     # the reference has no profiling at all) + per-stage loader timers
-    prof = {"left": args.profile if is_main else 0, "on": False}
-    if prof["left"]:
-        trace_dir = os.path.join(args.log_dir, "trace")
-        jax.profiler.start_trace(trace_dir)
-        prof["on"] = True
-        print(f"profiling {prof['left']} steps → {trace_dir}", file=sys.stderr)
+    from medical_image_segmentation_tpu.core.profiling import StepProfiler
 
-    def _stop_profile(fence=None):
-        """Stop + flush the trace. Called from every exit path — a run
-        shorter than --profile N must still write the artifact."""
-        if prof["on"]:
-            if fence is not None:
-                float(fence)  # host fence so the trace captures real work
-            jax.profiler.stop_trace()
-            prof["on"] = False
-            print("profiler trace written", file=sys.stderr)
+    prof = StepProfiler(args.profile if is_main else 0, args.log_dir)
 
     for epoch in range(start_epoch, args.max_epochs):
         t0 = time.time()
@@ -296,12 +283,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             key = jax.random.fold_in(key, 1)
             state, metrics = train_step(state, imgs, labels, key)
             n_imgs += args.batch_size
-            if prof["on"]:
-                prof["left"] -= 1
-                if prof["left"] <= 0:
-                    _stop_profile(metrics["loss"])
+            prof.tick(metrics["loss"])  # fence only consumed when stopping
             if _stop_agreed(i):
-                _stop_profile()
+                prof.stop()
                 _checkpoint()
                 return 0
             if logger and (i % 50 == 0):
@@ -309,7 +293,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         # epoch-end sync: catches signals in epochs shorter than the step
         # boundary (every host reaches here after the same batch count)
         if _stop_agreed(at_epoch_end=True):
-            _stop_profile()
+            prof.stop()
             _checkpoint()
             return 0
         if metrics:
@@ -324,7 +308,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                     file=sys.stderr,
                 )
                 if args.profile:
-                    print(f"loader stages (epoch {epoch}):\n{train_loader.timers.report()}",
+                    print(f"loader stages (epoch {epoch}):\n"
+                          f"{train_loader.timers.report(reset=True)}",
                           file=sys.stderr)
 
         if args.val_every_epochs and (epoch + 1) % args.val_every_epochs == 0:
@@ -341,6 +326,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                     for k in aggr:
                         aggr[k] += float(m[k])
                     n_b += 1
+                val_loader.close()  # rebuilt each val epoch: don't leak the store mmap/fd
                 if n_b and is_main:
                     aggr = {k: v / n_b for k, v in aggr.items()}
                     print(f"epoch {epoch}: " + " ".join(f"{k}={v:.4f}" for k, v in aggr.items()), file=sys.stderr)
@@ -348,18 +334,25 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
         if args.knn_every_epochs and (epoch + 1) % args.knn_every_epochs == 0:
             try:
-                bank_loader = dm.train_loader(per_host_batch, num_threads=args.num_workers,
-                                              seed=args.seed, shard=(proc, nproc))
-                val_loader = dm.val_loader(per_host_batch, num_threads=args.num_workers, shard=(proc, nproc))
-                ev = KNNEvaluator(num_classes=dm.NUM_CLASSES)
-                # feed mesh-global arrays: state is committed to the mesh, so
-                # host-local batches would raise "incompatible devices" on
-                # multi-host — the same device feed the train/val paths use
-                acc = ev.evaluate(
-                    lambda x: task.embed_step(state, _val_preprocess(x, dm)),
-                    device_put_sharded_batches(bank_loader, mesh),
-                    device_put_sharded_batches(val_loader, mesh),
-                )
+                # contextlib.closing: probe loaders are rebuilt every probe
+                # epoch — without close() each leaks a store mmap + fd
+                import contextlib
+
+                with contextlib.closing(
+                    dm.train_loader(per_host_batch, num_threads=args.num_workers,
+                                    seed=args.seed, shard=(proc, nproc))
+                ) as bank_loader, contextlib.closing(
+                    dm.val_loader(per_host_batch, num_threads=args.num_workers, shard=(proc, nproc))
+                ) as val_loader:
+                    ev = KNNEvaluator(num_classes=dm.NUM_CLASSES)
+                    # feed mesh-global arrays: state is committed to the mesh,
+                    # so host-local batches would raise "incompatible devices"
+                    # on multi-host — the same device feed the train/val use
+                    acc = ev.evaluate(
+                        lambda x: task.embed_step(state, _val_preprocess(x, dm)),
+                        device_put_sharded_batches(bank_loader, mesh),
+                        device_put_sharded_batches(val_loader, mesh),
+                    )
                 if is_main:
                     print(f"epoch {epoch}: online_knn_val_acc={acc:.4f}", file=sys.stderr)
                     logger.log({"online_knn_val_acc": acc}, step=int(np.asarray(state.step)), epoch=epoch)
@@ -369,7 +362,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         if args.checkpoint_every_epochs and (epoch + 1) % args.checkpoint_every_epochs == 0:
             _checkpoint()
 
-    _stop_profile()
+    prof.stop()
     return 0
 
 

@@ -325,3 +325,77 @@ class TestDicomRobustness:
 
 
 import struct  # noqa: E402  (used by robustness tests)
+
+
+class TestCodecHardening:
+    """Corrupt/malicious JPEG-lossless streams must error cleanly in BOTH
+    decoders (csrc/dicom_codecs.cpp parse() bounds checks and the Python
+    reference) — never read out of bounds."""
+
+    def _valid_stream(self):
+        from medical_image_segmentation_tpu.data.dicom_codecs import jpeg_lossless_encode
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 4096, size=(9, 11)).astype(np.uint16)
+        return jpeg_lossless_encode(img, precision=12, predictor=1)
+
+    def _native_rejects(self, blob):
+        from medical_image_segmentation_tpu.data.store.native import get_lib
+
+        lib = get_lib()
+        if lib is None:
+            return  # no toolchain — Python-side assertion still ran
+        import ctypes
+
+        out = np.empty(9 * 11, np.uint16)
+        rc = lib.jls_decode(bytes(blob), len(blob),
+                            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), out.size)
+        assert rc != 0, "native decoder accepted a corrupt stream"
+
+    def test_sos_table_id_out_of_range(self):
+        from medical_image_segmentation_tpu.data.dicom_codecs import (
+            CodecError, jpeg_lossless_decode_py)
+
+        bad = bytearray(self._valid_stream())
+        i = bytes(bad).find(b"\xff\xda")
+        bad[i + 6] = 0x40  # Td=4: only 4 table slots exist
+        with pytest.raises(CodecError):
+            jpeg_lossless_decode_py(bytes(bad))
+        self._native_rejects(bad)
+
+    def test_dht_symbol_count_overflow(self):
+        import struct
+
+        from medical_image_segmentation_tpu.data.dicom_codecs import (
+            CodecError, jpeg_lossless_decode_py)
+
+        # hand-built stream whose DHT declares 300 symbols (>256) with a
+        # segment long enough to pass the plain length check
+        counts = [255, 45] + [0] * 14
+        dht = bytes([0x00]) + bytes(counts) + bytes(300)
+        sof = struct.pack(">BHHB", 12, 9, 11, 1) + bytes([1, 0x11, 0])
+        sos = bytes([1, 1, 0x00, 1, 0, 0])
+        blob = (b"\xff\xd8"
+                + b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+                + b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+                + b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+                + b"\x00" * 64 + b"\xff\xd9")
+        with pytest.raises(CodecError):
+            jpeg_lossless_decode_py(blob)
+        self._native_rejects(bytearray(blob))
+
+    def test_encoder_reserves_all_ones_codeword(self):
+        """T.81: no codeword may be all 1-bits — the canonical table in every
+        encoded stream must be an INCOMPLETE prefix set (Kraft sum < 1)."""
+        from fractions import Fraction
+
+        from medical_image_segmentation_tpu.data.dicom_codecs import jpeg_lossless_encode
+
+        rng = np.random.default_rng(8)
+        for shape, lo, hi in (((9, 11), 0, 4096), ((16, 16), 0, 2), ((5, 5), 0, 65535)):
+            img = rng.integers(lo, hi, size=shape).astype(np.uint16)
+            enc = jpeg_lossless_encode(img, precision=16, predictor=1)
+            i = enc.find(b"\xff\xc4")
+            counts = list(enc[i + 5 : i + 5 + 16])
+            kraft = sum(Fraction(c, 2 ** (l + 1)) for l, c in enumerate(counts))
+            assert kraft < 1, f"complete prefix set (counts={counts})"
