@@ -87,6 +87,8 @@ def main():
     ap.add_argument("--store_images", type=int, default=4096, help="size of --store auto")
     ap.add_argument("--num_threads", type=int, default=0,
                     help="loader decode threads (0 = host cpu count)")
+    ap.add_argument("--remat", action="store_true",
+                    help="checkpoint residual blocks (fit bigger archs/batches)")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of the timed steps to DIR")
     args = ap.parse_args()
@@ -106,6 +108,7 @@ def main():
         arch=args.arch, in_channels=1, hidden_dim=4096, proj_dim=256,
         num_classes=10, total_steps=100_000,
         learning_rate=1.0, warmup_epochs=10, max_epochs=200,
+        remat=args.remat,
     )
     from medical_image_segmentation_tpu.parallel import make_mesh, replicated, shard_batch
 

@@ -40,10 +40,12 @@ class Encoder(nn.Module):
     hidden_dim: int = 4096
     proj_dim: int = 256
     dtype: Any = jnp.bfloat16
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True, return_embedding: bool = False):
-        backbone = make_resnet(self.arch, in_channels=self.in_channels, low_res=self.low_res, dtype=self.dtype)
+        backbone = make_resnet(self.arch, in_channels=self.in_channels, low_res=self.low_res,
+                               dtype=self.dtype, remat=self.remat)
         feats = backbone(x, train=train)
         if return_embedding:
             return feats
@@ -63,6 +65,7 @@ class BYOLNet(nn.Module):
     proj_dim: int = 256
     num_classes: int = 10
     dtype: Any = jnp.bfloat16
+    remat: bool = False
 
     def setup(self):
         self.encoder = Encoder(
@@ -72,6 +75,7 @@ class BYOLNet(nn.Module):
             hidden_dim=self.hidden_dim,
             proj_dim=self.proj_dim,
             dtype=self.dtype,
+            remat=self.remat,
         )
         self.predictor = MLP(hidden_dim=self.hidden_dim, out_dim=self.proj_dim, dtype=self.dtype)
         self.probe = nn.Dense(self.num_classes, param_dtype=jnp.float32)

@@ -126,6 +126,9 @@ class ResNet(nn.Module):
     dtype: Any = jnp.bfloat16
     bn_momentum: float = 0.9
     bn_epsilon: float = 1e-5
+    remat: bool = False  # checkpoint each residual block: trades ~1/3 more
+    # FLOPs in bwd for O(depth) less activation memory — lets resnet101/152
+    # and large batches fit one chip (SURVEY "hard parts": EMA + two towers)
 
     @property
     def feature_dim(self) -> int:
@@ -159,10 +162,11 @@ class ResNet(nn.Module):
             pyramid.append(x)  # stride 2
             x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
+        block_cls = nn.remat(self.block_cls) if self.remat else self.block_cls
         for i, (n_blocks, filters) in enumerate(zip(self.stage_sizes, (64, 128, 256, 512))):
             for j in range(n_blocks):
                 strides = 2 if (i > 0 and j == 0) else 1
-                x = self.block_cls(filters=filters, strides=strides, conv=conv, norm=norm, name=f"layer{i+1}_{j}")(x)
+                x = block_cls(filters=filters, strides=strides, conv=conv, norm=norm, name=f"layer{i+1}_{j}")(x)
             pyramid.append(x)  # strides 4, 8, 16, 32 (or 1,2,4,8 low_res)
 
         if return_pyramid:
@@ -171,7 +175,8 @@ class ResNet(nn.Module):
         return x.astype(jnp.float32)
 
 
-def make_resnet(arch: str, in_channels: int = 3, low_res: bool = False, dtype: Any = jnp.bfloat16) -> ResNet:
+def make_resnet(arch: str, in_channels: int = 3, low_res: bool = False,
+                dtype: Any = jnp.bfloat16, remat: bool = False) -> ResNet:
     """Build a ResNet by torchvision-style name (reference `byol_pytorch.py:54`)."""
     if arch not in RESNET_CONFIGS:
         raise ValueError(f"unknown arch {arch!r}; available: {sorted(RESNET_CONFIGS)}")
@@ -183,4 +188,5 @@ def make_resnet(arch: str, in_channels: int = 3, low_res: bool = False, dtype: A
         in_channels=in_channels,
         low_res=low_res,
         dtype=dtype,
+        remat=remat,
     )

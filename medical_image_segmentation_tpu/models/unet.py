@@ -67,6 +67,7 @@ class UNet(nn.Module):
     in_channels: int = 1
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     dtype: Any = jnp.bfloat16
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -84,6 +85,7 @@ class UNet(nn.Module):
             in_channels=self.in_channels,
             low_res=False,
             dtype=self.dtype,
+            remat=self.remat,
             name="encoder",
         )
         # pyramid: [stride2 (stem), stride4, stride8, stride16, stride32]

@@ -74,14 +74,16 @@ class BYOLTask:
         steps_per_epoch: int = 1,
         probe_loss_weight: float = 1.0,
         dtype: Any = jnp.bfloat16,
+        remat: bool = False,
     ):
         self.model = BYOLNet(
             arch=arch, in_channels=in_channels, low_res=low_res,
             hidden_dim=hidden_dim, proj_dim=proj_dim, num_classes=num_classes, dtype=dtype,
+            remat=remat,
         )
         self.target_encoder = Encoder(
             arch=arch, in_channels=in_channels, low_res=low_res,
-            hidden_dim=hidden_dim, proj_dim=proj_dim, dtype=dtype,
+            hidden_dim=hidden_dim, proj_dim=proj_dim, dtype=dtype, remat=remat,
         )
         self.total_steps = total_steps
         self.probe_loss_weight = probe_loss_weight

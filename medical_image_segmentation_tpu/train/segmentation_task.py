@@ -52,11 +52,13 @@ class SegmentationTask:
         steps_per_epoch: int = 1,
         loss: str = "dice",
         dtype: Any = jnp.bfloat16,
+        remat: bool = False,
     ):
         if loss not in ("dice", "dice_ce"):
             raise ValueError(f"loss must be 'dice' or 'dice_ce', got {loss!r}")
         self.loss_kind = loss
-        self.model = UNet(arch=arch, n_classes=n_classes, in_channels=in_channels, dtype=dtype)
+        self.model = UNet(arch=arch, n_classes=n_classes, in_channels=in_channels, dtype=dtype,
+                          remat=remat)
         self.schedule = linear_warmup_cosine_annealing(
             learning_rate, warmup_epochs, max_epochs, eta_min=min_lr, steps_per_epoch=steps_per_epoch
         )

@@ -56,6 +56,8 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     ap.add_argument("--limit_steps_per_epoch", type=int, default=0)
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--fp32", dest="bf16", action="store_false")
+    ap.add_argument("--remat", action="store_true",
+                    help="checkpoint each residual block (less activation memory)")
     ap.add_argument("--profile", type=int, default=0, metavar="N",
                     help="trace the first N steps with jax.profiler into <log_dir>/trace "
                          "and print per-stage loader timers each epoch")
@@ -102,7 +104,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         learning_rate=args.learning_rate, weight_decay=args.weight_decay,
         warmup_epochs=args.warmup_epochs, max_epochs=args.max_epochs,
         min_lr=args.min_lr, steps_per_epoch=steps_per_epoch, loss=args.loss,
-        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32, remat=args.remat,
     )
     state = task.init(jax.random.key(args.seed), (2, args.image_size, args.image_size, 1))
 

@@ -65,6 +65,9 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
                          "(lightning_module.py:39-64)")
     ap.add_argument("--window_prob", type=float, default=None,
                     help="random CT re-windowing probability (0 = reference parity)")
+    ap.add_argument("--remat", action="store_true",
+                    help="checkpoint each residual block (less activation memory, "
+                         "~1/3 more bwd FLOPs) — for resnet101/152 or very large batches")
     ap.add_argument("--model_parallel", type=int, default=1, metavar="N",
                     help="tensor-parallel degree for the MLP heads: devices form a "
                          "(data, model) mesh and the projector/predictor are "
@@ -143,6 +146,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         total_steps=total_steps, steps_per_epoch=steps_per_epoch,
         probe_loss_weight=args.probe_loss_weight,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        remat=args.remat,
     )
     sample = (2, dm.crop_size, dm.crop_size, dm.channels)
     state = task.init(jax.random.key(args.seed), sample)

@@ -130,3 +130,48 @@ class TestUNetInputValidation:
         model = UNet(arch="resnet18", dtype=jnp.float32)
         with pytest.raises(ValueError, match="divisible by 32"):
             model.init(jax.random.key(0), jnp.zeros((1, 50, 50, 1)))
+
+
+class TestRemat:
+    """remat=True must be a pure memory/compute trade: identical param tree
+    and identical numbers (the checkpointed blocks recompute, not change)."""
+
+    def test_resnet_remat_tree_and_values(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from medical_image_segmentation_tpu.models.resnet import make_resnet
+
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 1)), jnp.float32)
+        m1 = make_resnet("resnet18", in_channels=1, dtype=jnp.float32)
+        m2 = make_resnet("resnet18", in_channels=1, dtype=jnp.float32, remat=True)
+        v1 = m1.init(jax.random.key(0), x, train=False)
+        v2 = m2.init(jax.random.key(0), x, train=False)
+        assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(v2)
+        o1 = m1.apply(v1, x, train=False)
+        o2 = m2.apply(v1, x, train=False)  # same variables through the remat model
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-6)
+
+        def loss(m, v):
+            return jnp.sum(m.apply(v, x, train=False))
+
+        g1 = jax.grad(lambda v: loss(m1, v))(v1)
+        g2 = jax.grad(lambda v: loss(m2, v))(v1)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+    def test_byol_task_remat_smoke(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from medical_image_segmentation_tpu.train import BYOLTask
+
+        task = BYOLTask(arch="resnet18", in_channels=1, hidden_dim=32, proj_dim=8,
+                        num_classes=4, total_steps=10, dtype=jnp.float32, remat=True)
+        state = task.init(jax.random.key(0), (2, 32, 32, 1))
+        rng = np.random.default_rng(0)
+        v = jnp.asarray(rng.normal(size=(4, 32, 32, 1)), jnp.float32)
+        state, m = task.train_step(state, v, v)
+        assert np.isfinite(float(m["loss"]))
