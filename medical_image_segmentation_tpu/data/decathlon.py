@@ -93,6 +93,10 @@ class DecathlonLoader:
         self.prefetch = prefetch
         self.epoch = 0
 
+    def close(self) -> None:
+        """No persistent resources (PNGs open per read) — exists so callers
+        can treat every loader uniformly via contextlib.closing."""
+
     def _shard_indices(self) -> np.ndarray:
         shard_id, num_shards = self.shard
         if num_shards == 1:

@@ -284,11 +284,15 @@ def jpeg_lossless_decode_py(data: bytes) -> np.ndarray:
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
+                if p + 17 > len(seg):
+                    raise CodecError("truncated DHT segment")
                 tc_th = seg[p]
                 counts = list(seg[p + 1 : p + 17])
                 nsym = sum(counts)
                 if nsym > 256:  # T.81 limit; also the C++ decoder's bound
                     raise CodecError(f"DHT declares {nsym} symbols (max 256)")
+                if p + 17 + nsym > len(seg):
+                    raise CodecError("DHT symbol table truncated")
                 symbols = list(seg[p + 17 : p + 17 + nsym])
                 huff[tc_th & 0x0F] = _Huffman(counts, symbols)
                 p += 17 + nsym

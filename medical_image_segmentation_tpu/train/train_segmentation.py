@@ -135,17 +135,23 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         return task.eval_step(state, x, y)
 
     def run_eval(split: str):
-        loader = dm.loader(split, per_host, shard=(proc, nproc), num_threads=args.num_workers)
-        if len(loader) == 0:
-            return None
-        aggr = {"loss": 0.0, "dice": 0.0, "iou": 0.0}
-        n = 0
-        for imgs, msks in loader:
-            b = shard_batch(mesh, {"i": imgs, "m": msks})
-            m = eval_step(state, b["i"], b["m"])
-            for k in aggr:
-                aggr[k] += float(m[k])
-            n += 1
+        import contextlib
+
+        # closing(): store-backed loaders hold an mmap + fd and are rebuilt
+        # every epoch — leak-free on every exit path
+        with contextlib.closing(
+            dm.loader(split, per_host, shard=(proc, nproc), num_threads=args.num_workers)
+        ) as loader:
+            if len(loader) == 0:
+                return None
+            aggr = {"loss": 0.0, "dice": 0.0, "iou": 0.0}
+            n = 0
+            for imgs, msks in loader:
+                b = shard_batch(mesh, {"i": imgs, "m": msks})
+                m = eval_step(state, b["i"], b["m"])
+                for k in aggr:
+                    aggr[k] += float(m[k])
+                n += 1
         return {f"{split}/{k}": v / n for k, v in aggr.items()}
 
     logger = CSVMetricsLogger(args.log_dir) if is_main else None
@@ -155,34 +161,38 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
     prof = StepProfiler(args.profile if is_main else 0, args.log_dir)
 
-    for epoch in range(args.max_epochs):
-        t0 = time.time()
-        metrics = {}
-        n_imgs = 0
-        for i, (imgs, msks) in enumerate(train_loader):
-            if args.limit_steps_per_epoch and i >= args.limit_steps_per_epoch:
-                break
-            key = jax.random.fold_in(key, 1)
-            b = shard_batch(mesh, {"i": imgs, "m": msks})
-            state, metrics = train_step(state, b["i"], b["m"], key)
-            n_imgs += args.batch_size
-            prof.tick(metrics["train/loss"])  # fence only consumed when stopping
-        if metrics:
-            loss = float(metrics["train/loss"])  # host fence
-            if is_main:
-                print(f"epoch {epoch}: train/loss={loss:.4f} {n_imgs/(time.time()-t0):.0f} img/s", file=sys.stderr)
-                if args.profile and hasattr(train_loader, "timers"):
-                    print(f"loader stages (epoch {epoch}):\n"
-                          f"{train_loader.timers.report(reset=True)}",
-                          file=sys.stderr)
-                logger.log({k: float(v) for k, v in metrics.items()},
-                           step=int(np.asarray(state.step)), epoch=epoch)
-        val = run_eval("val")
-        if val and is_main:
-            print(f"epoch {epoch}: " + " ".join(f"{k}={v:.4f}" for k, v in val.items()), file=sys.stderr)
-            logger.log(val, step=int(np.asarray(state.step)), epoch=epoch)
+    try:
+        for epoch in range(args.max_epochs):
+            t0 = time.time()
+            metrics = {}
+            n_imgs = 0
+            for i, (imgs, msks) in enumerate(train_loader):
+                if args.limit_steps_per_epoch and i >= args.limit_steps_per_epoch:
+                    break
+                key = jax.random.fold_in(key, 1)
+                b = shard_batch(mesh, {"i": imgs, "m": msks})
+                state, metrics = train_step(state, b["i"], b["m"], key)
+                n_imgs += args.batch_size
+                prof.tick(metrics["train/loss"])  # fence only consumed when stopping
+            if metrics:
+                loss = float(metrics["train/loss"])  # host fence
+                if is_main:
+                    print(f"epoch {epoch}: train/loss={loss:.4f} {n_imgs/(time.time()-t0):.0f} img/s", file=sys.stderr)
+                    if args.profile and hasattr(train_loader, "timers"):
+                        print(f"loader stages (epoch {epoch}):\n"
+                              f"{train_loader.timers.report(reset=True)}",
+                              file=sys.stderr)
+                    logger.log({k: float(v) for k, v in metrics.items()},
+                               step=int(np.asarray(state.step)), epoch=epoch)
+            val = run_eval("val")
+            if val and is_main:
+                print(f"epoch {epoch}: " + " ".join(f"{k}={v:.4f}" for k, v in val.items()), file=sys.stderr)
+                logger.log(val, step=int(np.asarray(state.step)), epoch=epoch)
 
-    prof.stop()
+    finally:
+        # flush the trace even if the run raises (e.g. an HBM OOM is
+        # exactly when the partial trace is most wanted)
+        prof.stop()
     test = run_eval("test")
     if test and is_main:
         print("test: " + " ".join(f"{k}={v:.4f}" for k, v in test.items()), file=sys.stderr)

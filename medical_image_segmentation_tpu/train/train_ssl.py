@@ -277,96 +277,102 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
     prof = StepProfiler(args.profile if is_main else 0, args.log_dir)
 
-    for epoch in range(start_epoch, args.max_epochs):
-        t0 = time.time()
-        n_imgs = 0
-        metrics = {}
-        for i, (imgs, labels) in enumerate(device_put_sharded_batches(train_loader, mesh)):
-            if args.limit_steps_per_epoch and i >= args.limit_steps_per_epoch:
-                break
-            key = jax.random.fold_in(key, 1)
-            state, metrics = train_step(state, imgs, labels, key)
-            n_imgs += args.batch_size
-            prof.tick(metrics["loss"])  # fence only consumed when stopping
-            if _stop_agreed(i):
-                prof.stop()
+    try:
+        for epoch in range(start_epoch, args.max_epochs):
+            t0 = time.time()
+            n_imgs = 0
+            metrics = {}
+            for i, (imgs, labels) in enumerate(device_put_sharded_batches(train_loader, mesh)):
+                if args.limit_steps_per_epoch and i >= args.limit_steps_per_epoch:
+                    break
+                key = jax.random.fold_in(key, 1)
+                state, metrics = train_step(state, imgs, labels, key)
+                n_imgs += args.batch_size
+                prof.tick(metrics["loss"])  # fence only consumed when stopping
+                if _stop_agreed(i):
+                    _checkpoint()
+                    return 0  # finally: flushes the profiler trace
+                if logger and (i % 50 == 0):
+                    logger.log({k: float(v) for k, v in metrics.items()}, step=int(np.asarray(state.step)), epoch=epoch)
+            # epoch-end sync: catches signals in epochs shorter than the step
+            # boundary (every host reaches here after the same batch count)
+            if _stop_agreed(at_epoch_end=True):
                 _checkpoint()
-                return 0
-            if logger and (i % 50 == 0):
-                logger.log({k: float(v) for k, v in metrics.items()}, step=int(np.asarray(state.step)), epoch=epoch)
-        # epoch-end sync: catches signals in epochs shorter than the step
-        # boundary (every host reaches here after the same batch count)
-        if _stop_agreed(at_epoch_end=True):
-            prof.stop()
-            _checkpoint()
-            return 0
-        if metrics:
-            # fence on a metric value (block_until_ready is unreliable on axon)
-            last_loss = float(metrics["loss"])
-            dt = time.time() - t0
-            if is_main:
-                print(
-                    f"epoch {epoch}: loss={last_loss:.4f} "
-                    f"{n_imgs/dt:.0f} img/s ({n_imgs/dt/n_dev:.0f}/chip) "
-                    f"lr={float(metrics['lr']):.4f} tau={float(metrics['momentum']):.5f}",
-                    file=sys.stderr,
-                )
-                if args.profile:
-                    print(f"loader stages (epoch {epoch}):\n"
-                          f"{train_loader.timers.report(reset=True)}",
-                          file=sys.stderr)
-
-        if args.val_every_epochs and (epoch + 1) % args.val_every_epochs == 0:
-            try:
-                val_loader = dm.val_loader(per_host_batch, num_threads=args.num_workers, shard=(proc, nproc))
-            except FileNotFoundError:
-                val_loader = None
-            if val_loader is not None:
-                aggr = {"val/loss": 0.0, "val/acc@1": 0.0, "val/acc@5": 0.0}
-                n_b = 0
-                for imgs, labels in device_put_sharded_batches(val_loader, mesh):
-                    x = _val_preprocess(imgs, dm)
-                    m = task.val_step(state, x, labels)
-                    for k in aggr:
-                        aggr[k] += float(m[k])
-                    n_b += 1
-                val_loader.close()  # rebuilt each val epoch: don't leak the store mmap/fd
-                if n_b and is_main:
-                    aggr = {k: v / n_b for k, v in aggr.items()}
-                    print(f"epoch {epoch}: " + " ".join(f"{k}={v:.4f}" for k, v in aggr.items()), file=sys.stderr)
-                    logger.log(aggr, step=int(np.asarray(state.step)), epoch=epoch)
-
-        if args.knn_every_epochs and (epoch + 1) % args.knn_every_epochs == 0:
-            try:
-                # contextlib.closing: probe loaders are rebuilt every probe
-                # epoch — without close() each leaks a store mmap + fd
-                import contextlib
-
-                with contextlib.closing(
-                    dm.train_loader(per_host_batch, num_threads=args.num_workers,
-                                    seed=args.seed, shard=(proc, nproc))
-                ) as bank_loader, contextlib.closing(
-                    dm.val_loader(per_host_batch, num_threads=args.num_workers, shard=(proc, nproc))
-                ) as val_loader:
-                    ev = KNNEvaluator(num_classes=dm.NUM_CLASSES)
-                    # feed mesh-global arrays: state is committed to the mesh,
-                    # so host-local batches would raise "incompatible devices"
-                    # on multi-host — the same device feed the train/val use
-                    acc = ev.evaluate(
-                        lambda x: task.embed_step(state, _val_preprocess(x, dm)),
-                        device_put_sharded_batches(bank_loader, mesh),
-                        device_put_sharded_batches(val_loader, mesh),
-                    )
+                return 0  # finally: flushes the profiler trace
+            if metrics:
+                # fence on a metric value (block_until_ready is unreliable on axon)
+                last_loss = float(metrics["loss"])
+                dt = time.time() - t0
                 if is_main:
-                    print(f"epoch {epoch}: online_knn_val_acc={acc:.4f}", file=sys.stderr)
-                    logger.log({"online_knn_val_acc": acc}, step=int(np.asarray(state.step)), epoch=epoch)
-            except FileNotFoundError:
-                pass
+                    print(
+                        f"epoch {epoch}: loss={last_loss:.4f} "
+                        f"{n_imgs/dt:.0f} img/s ({n_imgs/dt/n_dev:.0f}/chip) "
+                        f"lr={float(metrics['lr']):.4f} tau={float(metrics['momentum']):.5f}",
+                        file=sys.stderr,
+                    )
+                    if args.profile:
+                        print(f"loader stages (epoch {epoch}):\n"
+                              f"{train_loader.timers.report(reset=True)}",
+                              file=sys.stderr)
 
-        if args.checkpoint_every_epochs and (epoch + 1) % args.checkpoint_every_epochs == 0:
-            _checkpoint()
+            if args.val_every_epochs and (epoch + 1) % args.val_every_epochs == 0:
+                try:
+                    val_loader = dm.val_loader(per_host_batch, num_threads=args.num_workers, shard=(proc, nproc))
+                except FileNotFoundError:
+                    val_loader = None
+                if val_loader is not None:
+                    import contextlib
 
-    prof.stop()
+                    aggr = {"val/loss": 0.0, "val/acc@1": 0.0, "val/acc@5": 0.0}
+                    n_b = 0
+                    # closing(): rebuilt each val epoch — don't leak the
+                    # store mmap/fd, on any exit path
+                    with contextlib.closing(val_loader):
+                        for imgs, labels in device_put_sharded_batches(val_loader, mesh):
+                            x = _val_preprocess(imgs, dm)
+                            m = task.val_step(state, x, labels)
+                            for k in aggr:
+                                aggr[k] += float(m[k])
+                            n_b += 1
+                    if n_b and is_main:
+                        aggr = {k: v / n_b for k, v in aggr.items()}
+                        print(f"epoch {epoch}: " + " ".join(f"{k}={v:.4f}" for k, v in aggr.items()), file=sys.stderr)
+                        logger.log(aggr, step=int(np.asarray(state.step)), epoch=epoch)
+
+            if args.knn_every_epochs and (epoch + 1) % args.knn_every_epochs == 0:
+                try:
+                    # contextlib.closing: probe loaders are rebuilt every probe
+                    # epoch — without close() each leaks a store mmap + fd
+                    import contextlib
+
+                    with contextlib.closing(
+                        dm.train_loader(per_host_batch, num_threads=args.num_workers,
+                                        seed=args.seed, shard=(proc, nproc))
+                    ) as bank_loader, contextlib.closing(
+                        dm.val_loader(per_host_batch, num_threads=args.num_workers, shard=(proc, nproc))
+                    ) as val_loader:
+                        ev = KNNEvaluator(num_classes=dm.NUM_CLASSES)
+                        # feed mesh-global arrays: state is committed to the mesh,
+                        # so host-local batches would raise "incompatible devices"
+                        # on multi-host — the same device feed the train/val use
+                        acc = ev.evaluate(
+                            lambda x: task.embed_step(state, _val_preprocess(x, dm)),
+                            device_put_sharded_batches(bank_loader, mesh),
+                            device_put_sharded_batches(val_loader, mesh),
+                        )
+                    if is_main:
+                        print(f"epoch {epoch}: online_knn_val_acc={acc:.4f}", file=sys.stderr)
+                        logger.log({"online_knn_val_acc": acc}, step=int(np.asarray(state.step)), epoch=epoch)
+                except FileNotFoundError:
+                    pass
+
+            if args.checkpoint_every_epochs and (epoch + 1) % args.checkpoint_every_epochs == 0:
+                _checkpoint()
+
+    finally:
+        # flush the trace even if the run raises (e.g. an HBM OOM is
+        # exactly when the partial trace is most wanted)
+        prof.stop()
     return 0
 
 
