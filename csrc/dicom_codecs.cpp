@@ -226,6 +226,9 @@ int jls_decode(const uint8_t* buf, int64_t len, uint16_t* out, int64_t out_capac
   if (need <= 0 || need > out_capacity) return 10;
   if (f.precision < 2 || f.precision > 16) return 11;
   if (f.predictor < 1 || f.predictor > 7) return 12;
+  // point transform must leave at least one magnitude bit: pt >= precision
+  // would make the default-prediction shift below UB (negative shift count)
+  if (f.pt < 0 || f.pt >= f.precision) return 14;
 
   BitReader br{f.entropy, f.entropy_len};
   const Huffman* tabs[3];

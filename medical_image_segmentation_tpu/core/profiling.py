@@ -14,6 +14,7 @@ Usage:
 from __future__ import annotations
 
 import contextlib
+import threading
 import time
 from collections import defaultdict
 from typing import Dict
@@ -38,6 +39,9 @@ class StageTimers:
     """Accumulating wall-clock timers for input-pipeline stages."""
 
     def __init__(self):
+        # the prefetch thread writes ('decode') while the main thread
+        # reads/resets each epoch — all access goes through this lock
+        self._lock = threading.Lock()
         self.totals: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
 
@@ -47,23 +51,32 @@ class StageTimers:
         try:
             yield
         finally:
-            self.totals[name] += time.perf_counter() - t0
-            self.counts[name] += 1
+            dt = time.perf_counter() - t0
+            with self._lock:
+                self.totals[name] += dt
+                self.counts[name] += 1
+
+    def snapshot(self) -> Dict[str, tuple]:
+        """Consistent {stage: (total_s, count)} view (lock-guarded copy)."""
+        with self._lock:
+            return {k: (self.totals[k], self.counts[k]) for k in self.totals}
 
     def report(self, reset: bool = False) -> str:
+        with self._lock:
+            items = sorted((k, self.totals[k], self.counts[k]) for k in self.totals)
+            if reset:
+                self.totals = defaultdict(float)
+                self.counts = defaultdict(int)
         lines = []
-        for name in sorted(self.totals):
-            tot = self.totals[name]
-            n = self.counts[name]
+        for name, tot, n in items:
             lines.append(f"{name}: {tot:.3f}s total, {tot/max(n,1)*1e3:.2f} ms/call × {n}")
-        if reset:
-            self.reset()
         return "\n".join(lines)
 
     def reset(self) -> None:
         """Zero the accumulators — per-epoch reports must not blend epochs."""
-        self.totals.clear()
-        self.counts.clear()
+        with self._lock:
+            self.totals = defaultdict(float)
+            self.counts = defaultdict(int)
 
 
 class StepProfiler:

@@ -319,6 +319,9 @@ def jpeg_lossless_decode_py(data: bytes) -> np.ndarray:
     ns, tables, sel, pt, entropy = scan
     if ns != ncomp:
         raise CodecError("non-interleaved multi-scan lossless not supported")
+    if pt >= precision:
+        # point transform must leave >=1 magnitude bit (mirrors C++ rc=14)
+        raise CodecError(f"point transform {pt} >= precision {precision}")
 
     br = _BitReader(entropy)
     out = np.empty((rows, cols, ncomp), np.int32)

@@ -185,8 +185,16 @@ def write_store_from_dataset(
     to the serial path."""
     idxs = list(indices) if indices is not None else list(range(len(dataset)))
     with_labels = False
+    parallel = num_processes > 1 and len(idxs) > 1
+    if parallel:
+        import multiprocessing
+
+        # the parallel path hard-requires fork inheritance of _WORKER_CTX;
+        # on platforms without fork (or from a process where forking is
+        # unsafe), degrade to the byte-identical serial path
+        parallel = "fork" in multiprocessing.get_all_start_methods()
     with StoreWriter(path, channels=channels, with_labels=True) as w:
-        if num_processes > 1 and len(idxs) > 1:
+        if parallel:
             import concurrent.futures as cf
             import multiprocessing
 
