@@ -217,7 +217,14 @@ def main():
     if mode == "store":
         out["loader_gbytes_per_sec"] = round(
             imgs_per_sec * args.image_size * args.image_size / 1e9, 3)
+        # machine-checkable bottleneck attribution (VERDICT r2 weak #1):
+        # the per-stage split must be in the JSON line, not just stderr
+        out["num_decode_threads"] = args.num_threads or (os.cpu_count() or 4)
+        out["h2d_bytes_per_batch"] = args.batch_size * args.image_size * args.image_size
         if loader is not None and loader.timers is not None:
+            for stage, (tot, n) in loader.timers.snapshot().items():
+                out[f"{stage}_ms_per_batch"] = round(tot / max(n, 1) * 1e3, 2)
+                out[f"{stage}_batches_timed"] = n
             print(loader.timers.report(), file=sys.stderr)
     print(json.dumps(out))
     if loader is not None:

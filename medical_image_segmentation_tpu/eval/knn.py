@@ -50,13 +50,73 @@ def knn_predict(
     return jnp.einsum("bk,bkc->bc", weights, one_hot)
 
 
-class KNNEvaluator:
-    """Builds a feature bank with an ``embed_fn`` and scores a val loader."""
+@partial(jax.jit, static_argnames=("k",))
+def _chunk_topk(features: jax.Array, bank_chunk: jax.Array, labels_chunk: jax.Array, k: int):
+    """Top-k similarities of (B, D) queries against one bank chunk."""
+    sim = features @ bank_chunk.T.astype(jnp.float32)       # (B, C)
+    sim_k, idx_k = jax.lax.top_k(sim, min(k, bank_chunk.shape[0]))
+    return sim_k, labels_chunk[idx_k]
 
-    def __init__(self, num_classes: int, k: int = 200, temperature: float = 0.07):
+
+@partial(jax.jit, static_argnames=("k",))
+def _merge_topk(sim_a, lab_a, sim_b, lab_b, k: int):
+    """Merge two (B, ≤k) candidate sets into the best ≤k."""
+    sim = jnp.concatenate([sim_a, sim_b], axis=1)
+    lab = jnp.concatenate([lab_a, lab_b], axis=1)
+    sim_k, idx = jax.lax.top_k(sim, min(k, sim.shape[1]))
+    return sim_k, jnp.take_along_axis(lab, idx, axis=1)
+
+
+def knn_predict_chunked(
+    features: jax.Array,
+    bank: jax.Array,
+    bank_labels: jax.Array,
+    num_classes: int,
+    k: int = 200,
+    temperature: float = 0.07,
+    chunk_size: int = 65536,
+) -> jax.Array:
+    """`knn_predict` streamed over the bank dimension: never materializes the
+    (B, N) similarity matrix, so a 1M-row bank fits one chip. Exact — top-k by
+    similarity is chunk-mergeable (exp(s/T) is monotone in s), so results are
+    identical to the unchunked path (verified in tests/test_eval.py)."""
+    features = _l2_normalize(features.astype(jnp.float32))
+    n = bank.shape[0]
+    sim_k = lab_k = None
+    for s in range(0, n, chunk_size):
+        e = min(s + chunk_size, n)
+        c_sim, c_lab = _chunk_topk(features, bank[s:e], bank_labels[s:e], k)
+        if sim_k is None:
+            sim_k, lab_k = c_sim, c_lab
+        else:
+            sim_k, lab_k = _merge_topk(sim_k, lab_k, c_sim, c_lab, k)
+    weights = jnp.exp(sim_k / temperature)
+    one_hot = jax.nn.one_hot(lab_k, num_classes, dtype=jnp.float32)
+    return jnp.einsum("bk,bkc->bc", weights, one_hot)
+
+
+class KNNEvaluator:
+    """Builds a feature bank with an ``embed_fn`` and scores a val loader.
+
+    ``max_bank_size`` caps host+device memory: feature accumulation stops at
+    the first N train samples (deterministic under the loader's seed). At the
+    canonical 1M-image store × 512-d f32 an unbounded bank is ~2 GB on top of
+    the two-tower state; the cap plus ``bank_chunk_size`` keeps the probe
+    runnable on one chip."""
+
+    def __init__(
+        self,
+        num_classes: int,
+        k: int = 200,
+        temperature: float = 0.07,
+        max_bank_size: int | None = None,
+        bank_chunk_size: int | None = None,
+    ):
         self.num_classes = num_classes
         self.k = k
         self.temperature = temperature
+        self.max_bank_size = max_bank_size
+        self.bank_chunk_size = bank_chunk_size
 
     def evaluate(
         self,
@@ -73,18 +133,34 @@ class KNNEvaluator:
         inside XLA instead of on the host), and the accuracy reduction yields
         a replicated scalar every host can read."""
         feats, labels = [], []
+        n_banked = 0
         for x, y in train_batches:
-            feats.append(_l2_normalize(embed_fn(jnp.asarray(x)).astype(jnp.float32)))
-            labels.append(jnp.asarray(y))
+            if self.max_bank_size is not None and n_banked >= self.max_bank_size:
+                break
+            f = _l2_normalize(embed_fn(jnp.asarray(x)).astype(jnp.float32))
+            y = jnp.asarray(y)
+            if self.max_bank_size is not None and n_banked + f.shape[0] > self.max_bank_size:
+                keep = self.max_bank_size - n_banked
+                f, y = f[:keep], y[:keep]
+            feats.append(f)
+            labels.append(y)
+            n_banked += f.shape[0]
         bank = jnp.concatenate(feats)
         bank_labels = jnp.concatenate(labels)
 
         correct = total = 0
         for x, y in val_batches:
-            scores = knn_predict(
-                embed_fn(jnp.asarray(x)), bank, bank_labels, self.num_classes,
-                k=self.k, temperature=self.temperature,
-            )
+            if self.bank_chunk_size is not None and bank.shape[0] > self.bank_chunk_size:
+                scores = knn_predict_chunked(
+                    embed_fn(jnp.asarray(x)), bank, bank_labels, self.num_classes,
+                    k=self.k, temperature=self.temperature,
+                    chunk_size=self.bank_chunk_size,
+                )
+            else:
+                scores = knn_predict(
+                    embed_fn(jnp.asarray(x)), bank, bank_labels, self.num_classes,
+                    k=self.k, temperature=self.temperature,
+                )
             correct += int(jnp.sum(jnp.argmax(scores, -1) == jnp.asarray(y)))
             total += int(np.shape(y)[0])
         return correct / max(total, 1)

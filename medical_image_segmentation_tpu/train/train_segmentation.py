@@ -10,6 +10,13 @@ prediction grid dumps. Fixes vs the reference (SURVEY §"known bugs"):
 - the **SSL→segmentation handoff actually exists**: ``--ssl_checkpoint``
   restores a BYOL backbone into the U-Net encoder before training
   (the point of the whole pipeline, never wired in the reference).
+
+Resilience matches the SSL trainer (the reference got per-epoch
+checkpointing + ``ckpt_path`` resume from the PL Trainer defaults,
+`train_segmentation.py:51-61`): ``--checkpoint_every_epochs`` periodic
+saves, ``--resume`` continues step count + data order, and SIGTERM/SIGINT
+triggers a lockstep-agreed checkpoint-and-exit across hosts
+(train/resilience.py).
 """
 
 from __future__ import annotations
@@ -45,6 +52,11 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log_dir", default="logs")
     ap.add_argument("--checkpoint_dir", default="checkpoints/seg")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the latest checkpoint in --checkpoint_dir "
+                         "(restores step count and the per-epoch data order)")
+    ap.add_argument("--checkpoint_every_epochs", type=int, default=1,
+                    help="periodic checkpoint cadence (0 = final checkpoint only)")
     ap.add_argument("--ssl_checkpoint", default=None,
                     help="orbax BYOL checkpoint to initialize the U-Net encoder from")
     ap.add_argument("--predict_grid", default=None, help="path for a pred/truth overlay grid PNG")
@@ -67,6 +79,7 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
 def main(argv: Optional[Sequence[str]] = None) -> int:
     args = parse_args(argv)
     from medical_image_segmentation_tpu.core.checkpoint import (
+        latest_step,
         load_byol_encoder_into_unet,
         restore_checkpoint,
         save_checkpoint,
@@ -117,6 +130,17 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         state = state.replace(params=new_vars["params"], batch_stats=new_vars["batch_stats"])
         print(f"initialized encoder from {args.ssl_checkpoint}", file=sys.stderr)
 
+    start_epoch = 0
+    if args.resume:
+        step = latest_step(args.checkpoint_dir)
+        if step is not None:
+            state = restore_checkpoint(os.path.join(args.checkpoint_dir, str(step)), state)
+            start_epoch = int(np.asarray(state.step)) // steps_per_epoch
+            # continue the data order instead of replaying epoch 0's permutation
+            train_loader.epoch = start_epoch
+            print(f"resumed from step {int(np.asarray(state.step))} (epoch {start_epoch})",
+                  file=sys.stderr)
+
     state = jax.device_put(state, replicated(mesh))
     mean, std = tuple(dm.mean), tuple(dm.std)
     size = (args.image_size, args.image_size)
@@ -155,14 +179,31 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         return {f"{split}/{k}": v / n for k, v in aggr.items()}
 
     logger = CSVMetricsLogger(args.log_dir) if is_main else None
-    key = jax.random.key(args.seed + 1)
+    # fold the restored step count in so a resumed run continues the
+    # augmentation RNG stream instead of replaying step 0's randomness
+    key = jax.random.fold_in(jax.random.key(args.seed + 1), int(np.asarray(state.step)))
+
+    # preemption: SIGTERM/SIGINT → lockstep-agreed checkpoint + clean exit
+    # (same machinery as the SSL trainer, train/resilience.py)
+    from medical_image_segmentation_tpu.train.resilience import PreemptionGuard
+
+    guard = PreemptionGuard(nproc)
+
+    def _checkpoint():
+        # COLLECTIVE: orbax saves run cross-process barriers, so every host
+        # must call this — all call sites are lockstep points (agreed stop,
+        # epoch boundaries). See train_ssl._checkpoint.
+        payload = jax.device_get(state) if nproc == 1 else state
+        path = save_checkpoint(args.checkpoint_dir, payload, int(np.asarray(state.step)))
+        if is_main:
+            print(f"checkpoint → {path}", file=sys.stderr)
 
     from medical_image_segmentation_tpu.core.profiling import StepProfiler
 
     prof = StepProfiler(args.profile if is_main else 0, args.log_dir)
 
     try:
-        for epoch in range(args.max_epochs):
+        for epoch in range(start_epoch, args.max_epochs):
             t0 = time.time()
             metrics = {}
             n_imgs = 0
@@ -174,6 +215,14 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                 state, metrics = train_step(state, b["i"], b["m"], key)
                 n_imgs += args.batch_size
                 prof.tick(metrics["train/loss"])  # fence only consumed when stopping
+                if guard.stop_agreed(i):
+                    _checkpoint()
+                    return 0  # finally: flushes the profiler trace
+            # epoch-end sync: catches signals in epochs shorter than the step
+            # boundary (every host reaches here after the same batch count)
+            if guard.stop_agreed(at_epoch_end=True):
+                _checkpoint()
+                return 0
             if metrics:
                 loss = float(metrics["train/loss"])  # host fence
                 if is_main:
@@ -188,6 +237,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             if val and is_main:
                 print(f"epoch {epoch}: " + " ".join(f"{k}={v:.4f}" for k, v in val.items()), file=sys.stderr)
                 logger.log(val, step=int(np.asarray(state.step)), epoch=epoch)
+            if args.checkpoint_every_epochs and (epoch + 1) % args.checkpoint_every_epochs == 0 \
+                    and (epoch + 1) < args.max_epochs:  # final epoch saves below
+                _checkpoint()
 
     finally:
         # flush the trace even if the run raises (e.g. an HBM OOM is
@@ -198,14 +250,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         print("test: " + " ".join(f"{k}={v:.4f}" for k, v in test.items()), file=sys.stderr)
         logger.log(test, step=int(np.asarray(state.step)), epoch=args.max_epochs)
 
-    # COLLECTIVE: orbax's save runs cross-process barriers/allgathers, so
-    # every host must call it — a host-0-only save deadlocks the pod (see
-    # train_ssl._checkpoint). This is a lockstep point: all hosts finish the
-    # epoch loop after the same batch count.
-    payload = jax.device_get(state) if nproc == 1 else state
-    path = save_checkpoint(args.checkpoint_dir, payload, int(np.asarray(state.step)))
-    if is_main:
-        print(f"checkpoint → {path}", file=sys.stderr)
+    # final checkpoint — a lockstep point: all hosts finish the epoch loop
+    # after the same batch count.
+    _checkpoint()
 
     if args.full_res_window and is_main:
         from medical_image_segmentation_tpu.eval.sliding_window import make_unet_window_fn, sliding_window_predict

@@ -51,6 +51,19 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     ap.add_argument("--checkpoint_every_epochs", type=int, default=1)
     ap.add_argument("--val_every_epochs", type=int, default=1)
     ap.add_argument("--knn_every_epochs", type=int, default=0, help="0 disables the KNN probe")
+    ap.add_argument("--knn_bank_size", type=int, default=262144,
+                    help="cap on the KNN feature-bank rows (first-N, deterministic under "
+                         "the loader seed); 0 = unbounded. At 1M×512-d f32 an unbounded "
+                         "bank is ~2 GB on top of the two-tower state")
+    ap.add_argument("--knn_bank_chunk", type=int, default=65536,
+                    help="stream the similarity matmul over bank chunks of this many rows "
+                         "(never materializes the (B, N) matrix); 0 = unchunked")
+    ap.add_argument("--val_full_image", action="store_true",
+                    help="validate on full stored images (normalize only) — exact parity "
+                         "with the reference val pipeline (SimpleRGBImageDecoder + "
+                         "Normalize, lightning_module.py:180-191). Default center-crops "
+                         "to the train crop size, which is cheaper at stored 256² and "
+                         "changes val/acc@k semantics slightly")
     ap.add_argument("--probe_loss_weight", type=float, default=1.0)
     ap.add_argument("--limit_steps_per_epoch", type=int, default=0, help="smoke-test cap (0 = full epoch)")
     ap.add_argument("--run_single_validation", action="store_true",
@@ -78,16 +91,25 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     return ap.parse_args(argv)
 
 
-def _val_preprocess(imgs, dm):
-    """Center-crop to the train crop size + normalize with val stats — the
-    reference val pipeline (CenterCrop decoder + Normalize,
-    `lightning_module.py:154-177,239-248`)."""
+def _val_preprocess(imgs, dm, full_image: bool = False):
+    """Validation preprocessing with val stats.
+
+    ``full_image=True`` is exact reference parity: the full stored image,
+    normalize only (`SimpleRGBImageDecoder` + `NormalizeImage`, reference
+    `lightning_module.py:180-191` — val never crops). The default
+    (``full_image=False``) center-crops to the train crop size first
+    (CenterCrop + Normalize, `lightning_module.py:154-177,239-248` semantics)
+    — 4× cheaper at stored 256² vs 112² crops, but a deliberate,
+    documented deviation that slightly changes val/acc@k semantics.
+    Pinned by tests/test_tasks.py::test_val_preprocess_reference_parity."""
     import jax.numpy as jnp
 
-    b, h, w, c = imgs.shape
-    s = min(h, w, dm.crop_size)
-    y0, x0 = (h - s) // 2, (w - s) // 2
-    x = imgs[:, y0 : y0 + s, x0 : x0 + s, :].astype(jnp.float32)
+    x = imgs.astype(jnp.float32)
+    if not full_image:
+        b, h, w, c = imgs.shape
+        s = min(h, w, dm.crop_size)
+        y0, x0 = (h - s) // 2, (w - s) // 2
+        x = x[:, y0 : y0 + s, x0 : x0 + s, :]
     return (x - jnp.asarray(dm.val_mean)) / jnp.asarray(dm.val_std)
 
 
@@ -169,7 +191,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         aggr = {"val/loss": 0.0, "val/acc@1": 0.0, "val/acc@5": 0.0}
         n_b = 0
         for imgs, labels in device_put_sharded_batches(val_loader, mesh):
-            m = task.val_step(state, _val_preprocess(imgs, dm), labels)
+            m = task.val_step(state, _val_preprocess(imgs, dm, args.val_full_image), labels)
             for k in aggr:
                 aggr[k] += float(m[k])
             n_b += 1
@@ -220,44 +242,13 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     logger = CSVMetricsLogger(args.log_dir) if is_main else None
     key = jax.random.fold_in(jax.random.key(args.seed + 1), int(np.asarray(state.step)))
 
-    # preemption safety: on SIGTERM/SIGINT finish the current step, write a
-    # checkpoint, and exit cleanly (resume with --resume). TPU pods get
-    # preempted; the reference relied on Lightning defaults (SURVEY §5.4).
-    import signal
+    # preemption safety: on SIGTERM/SIGINT finish the current step, agree the
+    # stop across hosts at a lockstep boundary, checkpoint, exit 0 (resume
+    # with --resume). Shared with the segmentation trainer (resilience.py).
+    from medical_image_segmentation_tpu.train.resilience import PreemptionGuard
 
-    stop_requested = {"flag": False}
-
-    def _request_stop(signum, frame):
-        stop_requested["flag"] = True
-        print(f"signal {signum}: will checkpoint and exit after this step", file=sys.stderr)
-
-    signal.signal(signal.SIGTERM, _request_stop)
-    signal.signal(signal.SIGINT, _request_stop)
-
-    # stop-sync cadence: every host enters the agreement collective at the
-    # same step boundaries. Env-overridable so slow-host tests can use a
-    # short interval; the lockstep property is interval-independent.
-    STOP_SYNC_EVERY = int(os.environ.get("MIS_STOP_SYNC_EVERY", "20"))
-
-    def _stop_agreed(step_idx: int = -1, at_epoch_end: bool = False) -> bool:
-        """Multi-host runs must agree on stopping — a lone host exiting
-        leaves peers blocked in the next collective. Any-host signal wins.
-
-        CRITICAL: every host must enter the allgather at the SAME points, or
-        a signaled host's allgather pairs against its peers' train-step psums
-        and the pod deadlocks. So the local flag never changes whether a host
-        enters the collective — all hosts sync at fixed step boundaries
-        (every 20 steps, ≤20-step stop latency) and at epoch end, both of
-        which are lockstep across hosts (loader shards are equalized)."""
-        if nproc == 1:
-            return stop_requested["flag"]
-        if not at_epoch_end and step_idx % STOP_SYNC_EVERY != STOP_SYNC_EVERY - 1:
-            return False
-        from jax.experimental import multihost_utils
-
-        flags = np.asarray(multihost_utils.process_allgather(
-            np.array([stop_requested["flag"]], np.int32)))
-        return bool(flags.sum() > 0)
+    guard = PreemptionGuard(nproc)
+    _stop_agreed = guard.stop_agreed
 
     def _checkpoint():
         # COLLECTIVE: orbax's save runs cross-process barriers/allgathers
@@ -329,7 +320,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                     # store mmap/fd, on any exit path
                     with contextlib.closing(val_loader):
                         for imgs, labels in device_put_sharded_batches(val_loader, mesh):
-                            x = _val_preprocess(imgs, dm)
+                            x = _val_preprocess(imgs, dm, args.val_full_image)
                             m = task.val_step(state, x, labels)
                             for k in aggr:
                                 aggr[k] += float(m[k])
@@ -351,12 +342,16 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                     ) as bank_loader, contextlib.closing(
                         dm.val_loader(per_host_batch, num_threads=args.num_workers, shard=(proc, nproc))
                     ) as val_loader:
-                        ev = KNNEvaluator(num_classes=dm.NUM_CLASSES)
+                        ev = KNNEvaluator(
+                            num_classes=dm.NUM_CLASSES,
+                            max_bank_size=args.knn_bank_size or None,
+                            bank_chunk_size=args.knn_bank_chunk or None,
+                        )
                         # feed mesh-global arrays: state is committed to the mesh,
                         # so host-local batches would raise "incompatible devices"
                         # on multi-host — the same device feed the train/val use
                         acc = ev.evaluate(
-                            lambda x: task.embed_step(state, _val_preprocess(x, dm)),
+                            lambda x: task.embed_step(state, _val_preprocess(x, dm, args.val_full_image)),
                             device_put_sharded_batches(bank_loader, mesh),
                             device_put_sharded_batches(val_loader, mesh),
                         )

@@ -189,3 +189,66 @@ def test_train_ssl_model_parallel_smoke(tmp_path, monkeypatch):
     import os
 
     assert any(d.isdigit() for d in os.listdir(tmp_path / "ckpt"))
+
+
+@pytest.mark.slow
+def test_train_segmentation_resume_deterministic(tmp_path, capfd):
+    """--resume on the segmentation trainer (VERDICT r2 missing #2): the
+    continued run must restore the step count, continue the per-epoch data
+    order and augmentation RNG stream (deterministic: two resumes from the
+    same checkpoint produce bit-identical parameters), and land on the exact
+    final step count. Reference bar: PL per-epoch ModelCheckpoint +
+    ``ckpt_path`` (reference train_segmentation.py:51-61)."""
+    import shutil
+
+    import jax
+
+    from medical_image_segmentation_tpu.core.checkpoint import restore_checkpoint
+    from medical_image_segmentation_tpu.data.ingest import create_splits, slice_decathlon
+    from medical_image_segmentation_tpu.train.train_segmentation import main as seg_main
+
+    rng = np.random.default_rng(3)
+    (tmp_path / "imagesTr").mkdir()
+    (tmp_path / "labelsTr").mkdir()
+    for v in range(6):
+        vol = rng.normal(100, 40, size=(48, 48, 4)).astype(np.float32)
+        seg = np.zeros((48, 48, 4), np.uint8)
+        seg[15:30, 15:30, :] = 1
+        write_nifti(str(tmp_path / "imagesTr" / f"la_{v:03d}.nii.gz"), vol)
+        write_nifti(str(tmp_path / "labelsTr" / f"la_{v:03d}.nii.gz"), seg)
+    img_out, msk_out = str(tmp_path / "img"), str(tmp_path / "msk")
+    assert slice_decathlon.main([
+        "--images_dir", str(tmp_path / "imagesTr"), "--labels_dir", str(tmp_path / "labelsTr"),
+        "--images_out", img_out, "--masks_out", msk_out, "--num_processes", "1"]) == 0
+    assert create_splits.main(["--images_dir", img_out, "--output_dir", str(tmp_path / "splits")]) == 0
+
+    ckpt_a = str(tmp_path / "ckpt_a")
+    base = [
+        "--dataset", "DECATHLON_HEART", "--images_dir", img_out, "--masks_dir", msk_out,
+        "--split_file", str(tmp_path / "splits" / "split_100_percent_train.json"),
+        "--batch_size", "8", "--warmup_epochs", "0", "--image_size", "64",
+        "--num_workers", "1", "--fp32", "--log_dir", str(tmp_path / "logs"),
+    ]
+    assert seg_main(base + ["--max_epochs", "1", "--checkpoint_dir", ckpt_a]) == 0
+    steps1 = sorted(int(d) for d in os.listdir(ckpt_a) if d.isdigit())
+    assert steps1, "no epoch-1 checkpoint"
+    steps_per_epoch = steps1[-1]
+
+    # two independent resumes from the SAME checkpoint → must be bit-identical
+    ckpt_b = str(tmp_path / "ckpt_b")
+    shutil.copytree(ckpt_a, ckpt_b)
+    capfd.readouterr()
+    assert seg_main(base + ["--max_epochs", "2", "--checkpoint_dir", ckpt_a, "--resume"]) == 0
+    err = capfd.readouterr().err
+    assert f"resumed from step {steps_per_epoch} (epoch 1)" in err
+    assert seg_main(base + ["--max_epochs", "2", "--checkpoint_dir", ckpt_b, "--resume"]) == 0
+
+    for d in (ckpt_a, ckpt_b):
+        final = sorted(int(x) for x in os.listdir(d) if x.isdigit())[-1]
+        assert final == 2 * steps_per_epoch, f"wrong final step in {d}: {final}"
+    tree_a = restore_checkpoint(os.path.join(ckpt_a, str(2 * steps_per_epoch)))
+    tree_b = restore_checkpoint(os.path.join(ckpt_b, str(2 * steps_per_epoch)))
+    leaves_a, leaves_b = jax.tree.leaves(tree_a), jax.tree.leaves(tree_b)
+    assert len(leaves_a) == len(leaves_b)
+    for la, lb in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
