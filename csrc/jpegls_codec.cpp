@@ -1,0 +1,468 @@
+// JPEG-LS (ITU-T T.87 / ISO 14495-1, LOCO-I) decoder — C++ fast path.
+//
+// Port of the pure-Python reference decoder in
+// medical_image_segmentation_tpu/data/jpegls.py (the bit-exact oracle;
+// parity-tested against it and against libcharls in
+// tests/test_data_formats.py). The reference project decodes these DICOM
+// transfer syntaxes (1.2.840.10008.1.2.4.80/.81) through pylibjpeg/GDCM
+// plugins (reference docker/Dockerfile:34-35).
+//
+// Scope (same as the oracle): single-component scans and multi-component
+// ILV=0. Hardened for untrusted input: every read is bounds-checked, unary
+// runs and Golomb k growth are capped, and any malformed structure returns a
+// nonzero status (the Python caller then re-decodes with the oracle to raise
+// a precise CodecError).
+//
+// C ABI:
+//   jpegls_probe(data, size, &rows, &cols, &ncomp, &precision) -> 0 | err
+//   jpegls_decode(data, size, out_u16, out_capacity_elems)     -> 0 | err
+//     out layout: (rows, cols, ncomp) row-major, component-last.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int kJ[32] = {0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2,  2,  3,  3,  3,  3,
+                        4, 4, 5, 5, 6, 6, 7, 7, 8, 9, 10, 11, 12, 13, 14, 15};
+constexpr int kMinC = -128, kMaxC = 127;
+
+struct Params {
+  int maxval, near_, range, bpp, qbpp, limit, reset, t1, t2, t3;
+};
+
+static int bit_length(int v) {
+  int n = 0;
+  while (v > 0) { v >>= 1; ++n; }
+  return n;
+}
+
+// T.87 A.1 default thresholds (BASIC_T = 3, 7, 21)
+static void default_thresholds(int maxval, int near_, int* t1, int* t2, int* t3) {
+  auto clampf = [&](int i, int j) { return (i > maxval || i < j) ? j : i; };
+  if (maxval >= 128) {
+    int factor = ((maxval < 4095 ? maxval : 4095) + 128) / 256;
+    *t1 = clampf(factor * (3 - 2) + 2 + 3 * near_, near_ + 1);
+    *t2 = clampf(factor * (7 - 3) + 3 + 5 * near_, *t1);
+    *t3 = clampf(factor * (21 - 4) + 4 + 7 * near_, *t2);
+  } else {
+    int factor = 256 / (maxval + 1);
+    int a = 3 / factor + 3 * near_;
+    *t1 = clampf(a > 2 ? a : 2, near_ + 1);
+    int b = 7 / factor + 5 * near_;
+    *t2 = clampf(b > 3 ? b : 3, *t1);
+    int c = 21 / factor + 7 * near_;
+    *t3 = clampf(c > 4 ? c : 4, *t2);
+  }
+}
+
+static int make_params(int precision, int near_, int maxval, int t1, int t2,
+                       int t3, int reset, Params* p) {
+  p->maxval = maxval ? maxval : (1 << precision) - 1;
+  int near_cap = p->maxval / 2 < 255 ? p->maxval / 2 : 255;
+  if (near_ < 0 || near_ > near_cap) return 21;
+  p->near_ = near_;
+  p->range = (p->maxval + 2 * near_) / (2 * near_ + 1) + 1;
+  int bl = bit_length(p->maxval);
+  p->bpp = bl > 2 ? bl : 2;
+  p->qbpp = bit_length(p->range - 1);
+  p->limit = 2 * (p->bpp + (p->bpp > 8 ? p->bpp : 8));
+  p->reset = reset ? reset : 64;
+  if (t1 && t2 && t3) {
+    p->t1 = t1; p->t2 = t2; p->t3 = t3;
+  } else {
+    default_thresholds(p->maxval, near_, &p->t1, &p->t2, &p->t3);
+  }
+  if (!(near_ + 1 <= p->t1 && p->t1 <= p->t2 && p->t2 <= p->t3 &&
+        p->t3 <= p->maxval))
+    return 22;
+  return 0;
+}
+
+// MSB-first bit reader with JPEG-LS marker-avoidance unstuffing: after an
+// 0xFF byte only 7 bits of the next byte are data; 0xFF followed by a byte
+// >= 0x80 is a marker → end of scan data (feed zeros thereafter).
+struct BitReader {
+  const uint8_t* data;
+  int64_t n, pos;
+  uint64_t acc = 0;
+  int nbits = 0;
+  bool prev_ff = false;
+
+  BitReader(const uint8_t* d, int64_t size, int64_t start)
+      : data(d), n(size), pos(start) {}
+
+  void fill() {
+    if (pos >= n) { acc <<= 8; nbits += 8; prev_ff = false; return; }
+    uint8_t b = data[pos];
+    if (prev_ff) {
+      if (b >= 0x80) { acc <<= 8; nbits += 8; return; }  // marker: zeros
+      ++pos;
+      acc = (acc << 7) | (b & 0x7F);
+      nbits += 7;
+      prev_ff = false;
+      return;
+    }
+    ++pos;
+    acc = (acc << 8) | b;
+    nbits += 8;
+    prev_ff = (b == 0xFF);
+  }
+
+  inline int read_bit() {
+    if (nbits == 0) fill();
+    --nbits;
+    int bit = (acc >> nbits) & 1;
+    acc &= (uint64_t(1) << nbits) - 1;
+    return bit;
+  }
+
+  inline int64_t read(int k) {
+    int64_t v = 0;
+    for (int i = 0; i < k; ++i) v = (v << 1) | read_bit();
+    return v;
+  }
+
+  // count 0-bits until the terminating 1; cap guards corrupt streams
+  inline int read_unary(int cap, int* err) {
+    int c = 0;
+    while (read_bit() == 0) {
+      if (++c > cap) { *err = 23; return 0; }
+    }
+    return c;
+  }
+};
+
+// A.5.3 limited-length Golomb decode of a mapped error value
+static inline int64_t golomb_decode(BitReader& br, int k, int limit, int qbpp,
+                                    int* err) {
+  int high = br.read_unary(limit + 1, err);
+  if (*err) return 0;
+  if (high < limit - (qbpp + 1))
+    return k ? ((int64_t(high) << k) | br.read(k)) : high;
+  if (high != limit - (qbpp + 1)) { *err = 24; return 0; }
+  return br.read(qbpp) + 1;
+}
+
+// A.3.3 gradient quantization to the 9 regions
+static inline int quantize_gradient(int d, const Params& p) {
+  if (d <= -p.t3) return -4;
+  if (d <= -p.t2) return -3;
+  if (d <= -p.t1) return -2;
+  if (d < -p.near_) return -1;
+  if (d <= p.near_) return 0;
+  if (d < p.t1) return 1;
+  if (d < p.t2) return 2;
+  if (d < p.t3) return 3;
+  return 4;
+}
+
+// Regular-mode contexts A/B/C/N (365 entries) + run-interruption contexts
+struct Contexts {
+  int64_t A[365], B[365];
+  int C[365], N[365];
+  int64_t Ar[2];
+  int Nr[2], Nn[2];
+  const Params& p;
+
+  explicit Contexts(const Params& params) : p(params) {
+    int64_t init_a = (p.range + 32) / 64;
+    if (init_a < 2) init_a = 2;
+    for (int i = 0; i < 365; ++i) { A[i] = init_a; B[i] = 0; C[i] = 0; N[i] = 1; }
+    Ar[0] = Ar[1] = init_a;
+    Nr[0] = Nr[1] = 1;
+    Nn[0] = Nn[1] = 0;
+  }
+
+  inline int k_regular(int q, int* err) {
+    int k = 0;
+    while ((int64_t(N[q]) << k) < A[q]) {
+      if (++k > 32) { *err = 25; return 0; }
+    }
+    return k;
+  }
+
+  // A.6.2 variables update + A.6.3 bias computation
+  inline void update_regular(int q, int64_t errval) {
+    B[q] += errval * (2 * p.near_ + 1);
+    A[q] += errval < 0 ? -errval : errval;
+    if (N[q] == p.reset) {
+      A[q] >>= 1;
+      B[q] >>= 1;  // arithmetic shift: rounds toward -inf like Python >>
+      N[q] >>= 1;
+    }
+    N[q] += 1;
+    if (B[q] <= -N[q]) {
+      B[q] += N[q];
+      if (B[q] < 1 - N[q]) B[q] = 1 - N[q];
+      if (C[q] > kMinC) C[q] -= 1;
+    } else if (B[q] > 0) {
+      B[q] -= N[q];
+      if (B[q] > 0) B[q] = 0;
+      if (C[q] < kMaxC) C[q] += 1;
+    }
+  }
+
+  inline int k_run(int ritype, int* err) {
+    int64_t temp = Ar[ritype] + (ritype ? (Nr[ritype] >> 1) : 0);
+    int k = 0;
+    while ((int64_t(Nr[ritype]) << k) < temp) {
+      if (++k > 32) { *err = 26; return 0; }
+    }
+    return k;
+  }
+
+  inline void update_run(int ritype, int64_t errval, int64_t emapped) {
+    if (errval < 0) Nn[ritype] += 1;
+    Ar[ritype] += (emapped + 1 - ritype) >> 1;
+    if (Nr[ritype] == p.reset) {
+      Ar[ritype] >>= 1;
+      Nr[ritype] >>= 1;
+      Nn[ritype] >>= 1;
+    }
+    Nr[ritype] += 1;
+  }
+};
+
+// A.4.1 median edge detector prediction
+static inline int med(int a, int b, int c) {
+  int mx = a > b ? a : b, mn = a < b ? a : b;
+  if (c >= mx) return mn;
+  if (c <= mn) return mx;
+  return a + b - c;
+}
+
+static inline int clampv(int64_t v, int maxval) {
+  return v < 0 ? 0 : (v > maxval ? maxval : int(v));
+}
+
+// A.4.2 / A.8.3 reconstruction wrap + clamp
+static inline int fix_reconstructed(int64_t v, const Params& p) {
+  int64_t m = int64_t(p.range) * (2 * p.near_ + 1);
+  if (v < -p.near_) v += m;
+  else if (v > p.maxval + p.near_) v -= m;
+  return clampv(v, p.maxval);
+}
+
+// Decode one component scan (A.3–A.8) into out (stride elements per pixel)
+static int decode_scan(BitReader& br, int rows, int cols, const Params& p,
+                       uint16_t* out, int stride) {
+  Contexts ctx(p);
+  std::vector<int> prev(cols, 0), prev2(cols, 0), cur(cols, 0);
+  int run_index = 0;
+  const int near_ = p.near_, maxval = p.maxval, range = p.range;
+  int err = 0;
+
+  for (int y = 0; y < rows; ++y) {
+    int x = 0;
+    while (x < cols) {
+      int b = prev[x];
+      int d = (x + 1 < cols) ? prev[x + 1] : b;
+      int a, c;
+      if (x > 0) { a = cur[x - 1]; c = prev[x - 1]; }
+      else { a = b; c = (y >= 1) ? prev2[0] : 0; }  // Ra(0)=Rb, Rc(0)=above-Rb
+      int d1 = d - b, d2 = b - c, d3 = c - a;
+      int ad1 = d1 < 0 ? -d1 : d1, ad2 = d2 < 0 ? -d2 : d2,
+          ad3 = d3 < 0 ? -d3 : d3;
+      if (ad1 <= near_ && ad2 <= near_ && ad3 <= near_) {
+        // ---- run mode (A.7) ----
+        int remaining = cols - x;
+        int index = 0;
+        while (br.read_bit()) {
+          int count = 1 << kJ[run_index];
+          if (count > remaining - index) count = remaining - index;
+          index += count;
+          if (count == (1 << kJ[run_index]) && run_index < 31) ++run_index;
+          if (index == remaining) break;
+        }
+        if (index != remaining) {
+          if (kJ[run_index] > 0) index += int(br.read(kJ[run_index]));
+          if (index >= remaining) return 27;  // run length exceeds line
+        }
+        for (int i = 0; i < index; ++i) cur[x + i] = a;
+        x += index;
+        if (index == remaining) continue;  // run hit EOL: no interruption
+        // run interruption sample (A.7.2)
+        int rb = prev[x];
+        int ra = a;  // == RUNval
+        int dr = ra - rb;
+        int ritype = ((dr < 0 ? -dr : dr) <= near_) ? 1 : 0;
+        int k = ctx.k_run(ritype, &err);
+        if (err) return err;
+        int64_t emapped =
+            golomb_decode(br, k, p.limit - kJ[run_index] - 1, p.qbpp, &err);
+        if (err) return err;
+        int64_t temp = emapped + ritype;
+        int mp = int(temp & 1);
+        int64_t errabs = (temp + mp) >> 1;
+        bool cond = (k != 0 || 2 * ctx.Nn[ritype] >= ctx.Nr[ritype]);
+        int64_t errval = ((cond && mp) || (!cond && !mp)) ? -errabs : errabs;
+        ctx.update_run(ritype, errval, emapped);
+        int rx;
+        if (ritype) {
+          rx = fix_reconstructed(ra + errval * (2 * near_ + 1), p);
+        } else {
+          int s = rb > ra ? 1 : -1;
+          rx = fix_reconstructed(rb + s * errval * (2 * near_ + 1), p);
+        }
+        cur[x] = rx;
+        ++x;
+        if (run_index > 0) --run_index;
+        continue;
+      }
+      // ---- regular mode (A.4–A.6) ----
+      int q1 = quantize_gradient(d1, p);
+      int q2 = quantize_gradient(d2, p);
+      int q3 = quantize_gradient(d3, p);
+      int q = 81 * q1 + 9 * q2 + q3;
+      int sign = q < 0 ? -1 : 1;
+      if (q < 0) q = -q;
+      int px = clampv(med(a, b, c) + sign * ctx.C[q], maxval);
+      int k = ctx.k_regular(q, &err);
+      if (err) return err;
+      int64_t merr = golomb_decode(br, k, p.limit, p.qbpp, &err);
+      if (err) return err;
+      // A.5.2 inverse error mapping (floor division semantics for negatives)
+      int64_t errval = (merr & 1) ? -((merr + 1) >> 1) : (merr >> 1);
+      if (k == 0 && near_ == 0 && 2 * ctx.B[q] <= -ctx.N[q])
+        errval = -errval - 1;
+      if ((errval < 0 ? -errval : errval) > range) return 28;
+      ctx.update_regular(q, errval);
+      errval *= sign;
+      cur[x] = fix_reconstructed(px + errval * (2 * near_ + 1), p);
+      ++x;
+    }
+    for (int i = 0; i < cols; ++i) out[(int64_t(y) * cols + i) * stride] =
+        uint16_t(cur[i]);
+    std::swap(prev2, prev);
+    std::swap(prev, cur);
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// marker-segment layer
+
+constexpr uint8_t kSOI = 0xD8, kEOI = 0xD9, kSOF55 = 0xF7, kLSE = 0xF8,
+                  kSOS = 0xDA, kDRI = 0xDD;
+
+struct Header {
+  int precision = 0, rows = 0, cols = 0, ncomp = 0;
+  int lse_maxval = 0, lse_t1 = 0, lse_t2 = 0, lse_t3 = 0, lse_reset = 0;
+  int sos_ns = 0, sos_near = 0, sos_ilv = 0;
+  int64_t entropy_start = 0;
+};
+
+static int be16(const uint8_t* p) { return (p[0] << 8) | p[1]; }
+
+// Parse markers up to (and including) the first SOS
+static int parse_header(const uint8_t* data, int64_t n, Header* h) {
+  if (n < 4 || data[0] != 0xFF || data[1] != kSOI) return 1;
+  int64_t i = 2;
+  while (i + 4 <= n) {
+    if (data[i] != 0xFF) return 2;
+    uint8_t marker = data[i + 1];
+    if (marker == 0xFF) { ++i; continue; }  // fill byte
+    i += 2;
+    if (marker == kSOI || marker == kEOI) return 3;
+    int seglen = be16(data + i);
+    if (seglen < 2 || i + seglen > n) return 4;
+    const uint8_t* seg = data + i + 2;
+    int sn = seglen - 2;
+    if (marker == kSOF55) {
+      if (sn < 6) return 5;
+      h->precision = seg[0];
+      h->rows = be16(seg + 1);
+      h->cols = be16(seg + 3);
+      h->ncomp = seg[5];
+      if (h->precision < 2 || h->precision > 16) return 6;
+      if (h->rows == 0 || h->cols == 0) return 7;  // DNL unsupported
+      if (h->ncomp < 1 || h->ncomp > 4) return 8;
+    } else if (marker == kLSE) {
+      if (sn < 1) return 9;
+      if (seg[0] == 1) {
+        if (sn < 11) return 9;
+        h->lse_maxval = be16(seg + 1);
+        h->lse_t1 = be16(seg + 3);
+        h->lse_t2 = be16(seg + 5);
+        h->lse_t3 = be16(seg + 7);
+        h->lse_reset = be16(seg + 9);
+      } else if (seg[0] == 2 || seg[0] == 3) {
+        return 10;  // mapping tables unsupported
+      }
+    } else if (marker == kDRI) {
+      if (sn >= 2 && be16(seg) != 0) return 11;  // restart intervals unsupported
+    } else if (marker == kSOS) {
+      if (sn < 1 || sn < 3 + 2 * seg[0]) return 12;
+      h->sos_ns = seg[0];
+      h->sos_near = seg[1 + 2 * h->sos_ns];
+      h->sos_ilv = seg[2 + 2 * h->sos_ns];
+      if (h->precision == 0) return 13;
+      h->entropy_start = i + seglen;
+      return 0;
+    }
+    i += seglen;
+  }
+  return 14;  // missing SOF55/SOS
+}
+
+}  // namespace
+
+extern "C" {
+
+int jpegls_probe(const uint8_t* data, int64_t size, int* rows, int* cols,
+                 int* ncomp, int* precision) {
+  Header h;
+  int rc = parse_header(data, size, &h);
+  if (rc) return rc;
+  *rows = h.rows;
+  *cols = h.cols;
+  *ncomp = h.ncomp;
+  *precision = h.precision;
+  return 0;
+}
+
+int jpegls_decode(const uint8_t* data, int64_t size, uint16_t* out,
+                  int64_t out_capacity) {
+  Header h;
+  int rc = parse_header(data, size, &h);
+  if (rc) return rc;
+  if (int64_t(h.rows) * h.cols * h.ncomp > out_capacity) return 15;
+  int sos_ns = h.sos_ns, sos_near = h.sos_near, sos_ilv = h.sos_ilv;
+  int64_t pos = h.entropy_start;
+  for (int comp = 0; comp < h.ncomp; ++comp) {
+    if (sos_ns != 1 || (h.ncomp > 1 && sos_ilv != 0)) return 16;  // ILV 1/2
+    Params p;
+    rc = h.lse_maxval
+             ? make_params(h.precision, sos_near, h.lse_maxval, h.lse_t1,
+                           h.lse_t2, h.lse_t3, h.lse_reset, &p)
+             : make_params(h.precision, sos_near, 0, 0, 0, 0, 0, &p);
+    if (rc) return rc;
+    BitReader br(data, size, pos);
+    rc = decode_scan(br, h.rows, h.cols, p, out + comp, h.ncomp);
+    if (rc) return rc;
+    if (comp + 1 == h.ncomp) break;
+    // find the next SOS after this scan's entropy data
+    int64_t j = br.pos;
+    int64_t nxt = -1;
+    while (j + 1 < size) {
+      if (data[j] == 0xFF && data[j + 1] == kSOS) { nxt = j; break; }
+      ++j;
+    }
+    if (nxt < 0) return 17;
+    if (nxt + 4 > size) return 18;
+    int seglen = be16(data + nxt + 2);
+    if (seglen < 2 || nxt + 2 + seglen > size) return 18;
+    const uint8_t* seg = data + nxt + 4;
+    int sn = seglen - 2;
+    if (sn < 1 || sn < 3 + 2 * seg[0]) return 19;
+    sos_ns = seg[0];
+    sos_near = seg[1 + 2 * sos_ns];
+    sos_ilv = seg[2 + 2 * sos_ns];
+    pos = nxt + 2 + seglen;
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -42,10 +42,19 @@ DEFLATED_VR_LE = "1.2.840.10008.1.2.1.99"
 JPEG_BASELINE = "1.2.840.10008.1.2.4.50"
 JPEG_LOSSLESS = "1.2.840.10008.1.2.4.57"
 JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
+JPEG_LS_LOSSLESS = "1.2.840.10008.1.2.4.80"
+JPEG_LS_NEAR_LOSSLESS = "1.2.840.10008.1.2.4.81"
+JPEG_2000_LOSSLESS = "1.2.840.10008.1.2.4.90"
+JPEG_2000 = "1.2.840.10008.1.2.4.91"
 RLE_LOSSLESS = "1.2.840.10008.1.2.5"
 
-# encapsulated syntaxes we decode natively (data/dicom_codecs.py)
-_NATIVE_CODECS = {JPEG_BASELINE, JPEG_LOSSLESS, JPEG_LOSSLESS_SV1, RLE_LOSSLESS}
+# encapsulated syntaxes we decode natively
+# (data/dicom_codecs.py, data/jpegls.py, data/jpeg2000.py)
+_NATIVE_CODECS = {
+    JPEG_BASELINE, JPEG_LOSSLESS, JPEG_LOSSLESS_SV1,
+    JPEG_LS_LOSSLESS, JPEG_LS_NEAR_LOSSLESS,
+    JPEG_2000_LOSSLESS, JPEG_2000, RLE_LOSSLESS,
+}
 
 # VRs that use the 12-byte (2 reserved + 4-byte length) explicit header
 _LONG_VRS = {b"OB", b"OW", b"OF", b"OD", b"OL", b"OV", b"SQ", b"UC", b"UR", b"UT", b"UN"}
@@ -138,6 +147,14 @@ class DicomFile:
             arr = codecs.rle_decode(data, self.rows, self.columns, bits, samples)
         elif ts in (JPEG_LOSSLESS, JPEG_LOSSLESS_SV1):
             arr = codecs.jpeg_lossless_decode(data)
+        elif ts in (JPEG_LS_LOSSLESS, JPEG_LS_NEAR_LOSSLESS):
+            from medical_image_segmentation_tpu.data.jpegls import jpeg_ls_decode
+
+            arr = jpeg_ls_decode(data)
+        elif ts in (JPEG_2000_LOSSLESS, JPEG_2000):
+            from medical_image_segmentation_tpu.data.jpeg2000 import j2k_decode
+
+            arr = j2k_decode(data)
         elif ts == JPEG_BASELINE:
             arr = codecs.jpeg_baseline_decode(data)
         else:  # pragma: no cover — guarded by _NATIVE_CODECS check
@@ -153,8 +170,10 @@ class DicomFile:
         return arr
 
     def _pydicom_fallback(self) -> Optional[np.ndarray]:
-        """Last resort for syntaxes we don't decode (J2K, JPEG-LS, …):
-        pydicom + its codec plugins, when installed."""
+        """Last resort for the rare syntaxes we don't decode natively
+        (JPEG extended 12-bit, MPEG, HTJ2K): pydicom + its codec plugins,
+        when installed. Every common TCIA syntax (RLE, JPEG baseline/
+        lossless, JPEG-LS, JPEG 2000) decodes natively without this."""
         if self.source_path is None:
             return None
         try:
@@ -163,8 +182,18 @@ class DicomFile:
             return None
         try:
             return pydicom.dcmread(self.source_path).pixel_array
-        except Exception:
-            return None
+        except Exception as e:
+            # "no handler/plugin for this syntax" → genuinely unsupported →
+            # let the caller raise UnsupportedTransferSyntax. Anything else
+            # (truncated stream, codec error) is a real decode failure and
+            # must surface as DicomError so per-file ingest statuses record
+            # the true cause instead of mislabeling it as unsupported.
+            msg = str(e).lower()
+            if isinstance(e, (ImportError, NotImplementedError)) or (
+                "handler" in msg or "plugin" in msg or "install" in msg
+            ):
+                return None
+            raise DicomError(f"pydicom fallback decode failed: {e}") from e
 
     @property
     def pixel_array(self) -> np.ndarray:
@@ -478,6 +507,28 @@ def write_dicom(
             elif ts in (JPEG_LOSSLESS, JPEG_LOSSLESS_SV1):
                 payload = codecs.jpeg_lossless_encode(
                     fr.astype(np.uint16), precision=bits, predictor=1)
+            elif ts in (JPEG_LS_LOSSLESS, JPEG_LS_NEAR_LOSSLESS):
+                from medical_image_segmentation_tpu.data.jpegls import jpeg_ls_encode
+
+                payload = jpeg_ls_encode(
+                    fr, near=0 if ts == JPEG_LS_LOSSLESS else 2, precision=bits)
+            elif ts in (JPEG_2000_LOSSLESS, JPEG_2000):
+                # fixture/tooling path: PIL's OpenJPEG encoder (handles tiny
+                # images + 16-bit); decode is our own data/jpeg2000.py
+                import io as _io
+
+                from PIL import Image as _PILImage
+
+                kw = (dict(irreversible=False) if ts == JPEG_2000_LOSSLESS
+                      else dict(irreversible=True, quality_mode="rates",
+                                quality_layers=[10]))
+                buf = _io.BytesIO()
+                try:
+                    _PILImage.fromarray(fr).save(
+                        buf, format="JPEG2000", no_jp2=True, **kw)
+                except Exception as e:
+                    raise DicomError(f"JPEG 2000 encode failed: {e}") from e
+                payload = buf.getvalue()
             else:  # JPEG_BASELINE
                 import cv2
 

@@ -25,6 +25,7 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.dirname(os.
 _SRCS = [
     os.path.join(_REPO_ROOT, "csrc", "mis_loader.cpp"),
     os.path.join(_REPO_ROOT, "csrc", "dicom_codecs.cpp"),
+    os.path.join(_REPO_ROOT, "csrc", "jpegls_codec.cpp"),
 ]
 
 
@@ -93,6 +94,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ]
         lib.jls_decode.restype = ctypes.c_int
         lib.jls_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64,
+        ]
+        # JPEG-LS T.87 codec (csrc/jpegls_codec.cpp)
+        lib.jpegls_probe.restype = ctypes.c_int
+        lib.jpegls_probe.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.jpegls_decode.restype = ctypes.c_int
+        lib.jpegls_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64,
         ]
