@@ -196,58 +196,6 @@ class _Qcd:
 # tag trees (B.10.2)
 
 
-class _TagTree:
-    def __init__(self, w: int, h: int):
-        self.w, self.h = max(w, 0), max(h, 0)
-        self.levels: List[Tuple[int, int]] = []
-        lw, lh = self.w, self.h
-        while True:
-            self.levels.append((lw, lh))
-            if lw <= 1 and lh <= 1:
-                break
-            lw, lh = _ceil_div(lw, 2), _ceil_div(lh, 2)
-        self.value = [np.zeros((lh_, lw_), np.int32) for lw_, lh_ in self.levels]
-        self.state = [np.zeros((lh_, lw_), np.int32) for lw_, lh_ in self.levels]
-
-    def decode(self, br: "_PacketBitReader", x: int, y: int, threshold: int) -> bool:
-        """True iff value(x, y) < threshold; decodes lazily (B.10.2)."""
-        # walk from the root down to the leaf
-        path = []
-        lx, ly = x, y
-        for li in range(len(self.levels)):
-            path.append((li, lx, ly))
-            lx, ly = lx // 2, ly // 2
-        low = 0
-        for li, lx, ly in reversed(path):
-            st = self.state[li]
-            va = self.value[li]
-            if st[ly, lx] < low:
-                st[ly, lx] = low
-            while st[ly, lx] < threshold:
-                if st[ly, lx] >= va[ly, lx] and va[ly, lx] != 0 and st[ly, lx] > va[ly, lx] - 1:
-                    pass
-                if va[ly, lx] > st[ly, lx]:
-                    # already known to be >= state+... value set means leaf known
-                    pass
-                if st[ly, lx] == va[ly, lx] and va[ly, lx] != 0:
-                    pass
-                bit = br.read_bit()
-                if bit:
-                    va[ly, lx] = st[ly, lx] + 0  # value == current state
-                    # mark decoded: value known exactly
-                    st[ly, lx] = threshold  # stop: value = old state
-                    va[ly, lx] = st[ly, lx] = va[ly, lx]
-                    break
-                st[ly, lx] += 1
-            # after loop: st >= threshold or value known
-            low = min(st[ly, lx], va[ly, lx]) if va[ly, lx] else st[ly, lx]
-        raise NotImplementedError  # replaced below
-
-
-# The loop above is fiddly to express with numpy state; use the classic
-# per-node object formulation instead (clearer and obviously correct).
-
-
 class _TTNode:
     __slots__ = ("parent", "value", "low", "known")
 

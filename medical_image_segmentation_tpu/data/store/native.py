@@ -26,6 +26,7 @@ _SRCS = [
     os.path.join(_REPO_ROOT, "csrc", "mis_loader.cpp"),
     os.path.join(_REPO_ROOT, "csrc", "dicom_codecs.cpp"),
     os.path.join(_REPO_ROOT, "csrc", "jpegls_codec.cpp"),
+    os.path.join(_REPO_ROOT, "csrc", "j2k_codec.cpp"),
 ]
 
 
@@ -108,6 +109,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.jpegls_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64,
+        ]
+        # JPEG 2000 T.800 codec (csrc/j2k_codec.cpp)
+        lib.j2k_probe.restype = ctypes.c_int
+        lib.j2k_probe.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.j2k_decode.restype = ctypes.c_int
+        lib.j2k_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
         ]
         _LIB = lib
         return _LIB

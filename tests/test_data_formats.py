@@ -797,3 +797,119 @@ class TestJpeg2000:
         p = str(tmp_path / "mf.dcm")
         write_dicom(p, arr, transfer_syntax=JPEG_2000_LOSSLESS)
         np.testing.assert_array_equal(read_dicom(p).pixel_array, arr)
+
+
+def _j2k_native(blob):
+    """Decode via the C++ fast path only (csrc/j2k_codec.cpp); skip if the
+    native toolchain is unavailable. Returns an int64 array or an int rc."""
+    import ctypes
+
+    from medical_image_segmentation_tpu.data.store.native import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "j2k_decode"):
+        pytest.skip("native toolchain unavailable")
+    rows, cols, ncomp = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
+    prec, signed_ = ctypes.c_int(), ctypes.c_int()
+    rc = lib.j2k_probe(blob, len(blob), ctypes.byref(rows), ctypes.byref(cols),
+                       ctypes.byref(ncomp), ctypes.byref(prec), ctypes.byref(signed_))
+    if rc != 0:
+        return rc
+    out = np.empty(max(rows.value * cols.value * ncomp.value, 1), np.int32)
+    rc = lib.j2k_decode(blob, len(blob),
+                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), out.size)
+    if rc != 0:
+        return rc
+    return out.reshape(rows.value, cols.value, ncomp.value).squeeze().astype(np.int64)
+
+
+class TestJpeg2000Native:
+    """C++ fast path (csrc/j2k_codec.cpp) parity vs the pure-Python oracle
+    (data/jpeg2000.py) and vs OpenJPEG-encoded ground truth. The ingest path
+    (data/dicom.py:155-157) dispatches to this decoder; the reference's
+    equivalent dependency is pylibjpeg-openjpeg (docker/Dockerfile:34-35)."""
+
+    @pytest.mark.parametrize("shape", [(64, 64), (61, 47), (32, 32, 3)])
+    def test_lossless_exact(self, shape):
+        rng = np.random.default_rng(20)
+        arr = rng.integers(0, 256, size=shape).astype(np.uint8)
+        out = _j2k_native(_pil_j2k(arr, irreversible=False))
+        assert not isinstance(out, int)
+        np.testing.assert_array_equal(out, arr.squeeze())
+
+    @pytest.mark.parametrize("prog", ["LRCP", "RLCP", "RPCL", "PCRL", "CPRL"])
+    def test_progression_orders(self, prog):
+        rng = np.random.default_rng(21)
+        arr = rng.integers(0, 256, size=(48, 48)).astype(np.uint8)
+        out = _j2k_native(_pil_j2k(arr, irreversible=False, progression=prog))
+        np.testing.assert_array_equal(out, arr)
+
+    def test_partial_tiles_and_precincts(self):
+        rng = np.random.default_rng(22)
+        arr = rng.integers(0, 256, size=(100, 90)).astype(np.uint8)
+        out = _j2k_native(_pil_j2k(arr, irreversible=False, tile_size=(32, 32)))
+        np.testing.assert_array_equal(out, arr)
+        arr = rng.integers(0, 256, size=(96, 96)).astype(np.uint8)
+        out = _j2k_native(_pil_j2k(arr, irreversible=False, precinct_size=(64, 64)))
+        np.testing.assert_array_equal(out, arr)
+
+    def test_16bit_lossless(self):
+        rng = np.random.default_rng(23)
+        arr = rng.integers(0, 4096, size=(40, 40)).astype(np.uint16)
+        out = _j2k_native(_pil_j2k(arr, irreversible=False))
+        np.testing.assert_array_equal(out, arr)
+
+    def test_lossy_parity_with_python_oracle(self):
+        """Irreversible 9/7 and quality-layer truncation are lossy; the C++
+        path must still match the Python decoder bit-for-bit."""
+        from medical_image_segmentation_tpu.data.jpeg2000 import j2k_decode_py
+
+        rng = np.random.default_rng(24)
+        arr = rng.integers(0, 256, size=(96, 96)).astype(np.uint8)
+        for blob in (_pil_j2k(arr, irreversible=True),
+                     _pil_j2k(arr, irreversible=False, quality_layers=[80, 40, 20])):
+            ours = _j2k_native(blob)
+            theirs = np.asarray(j2k_decode_py(blob)).astype(np.int64)
+            np.testing.assert_array_equal(ours, theirs)
+
+    def test_fuzz_never_crashes(self):
+        """Garbage / truncated / bit-flipped streams must return a nonzero rc
+        (or decode), never segfault or scribble out of bounds."""
+        import ctypes
+
+        from medical_image_segmentation_tpu.data.store.native import get_lib
+
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "j2k_decode"):
+            pytest.skip("native toolchain unavailable")
+        rng = np.random.default_rng(25)
+        ok_garbage = 0
+        for _ in range(200):
+            bad = bytes(rng.integers(0, 256, size=int(rng.integers(2, 300)),
+                                     dtype=np.uint8))
+            if not isinstance(_j2k_native(bad), int):
+                ok_garbage += 1
+        assert ok_garbage == 0
+        arr = rng.integers(0, 256, size=(48, 48)).astype(np.uint8)
+        blob = bytearray(_pil_j2k(arr, irreversible=False))
+        for cut in range(0, len(blob), 31):
+            _j2k_native(bytes(blob[:cut]))
+        for _ in range(150):
+            b2 = bytearray(blob)
+            b2[int(rng.integers(0, len(b2)))] ^= 1 << int(rng.integers(0, 8))
+            _j2k_native(bytes(b2))
+
+    def test_dispatch_prefers_native(self):
+        """j2k_decode (the ingest entry point) routes through the C++ path and
+        agrees with the Python oracle on dtype and pixels."""
+        from medical_image_segmentation_tpu.data.jpeg2000 import (
+            j2k_decode, j2k_decode_py)
+
+        rng = np.random.default_rng(26)
+        for arr in (rng.integers(0, 256, size=(33, 29)).astype(np.uint8),
+                    rng.integers(0, 4096, size=(33, 29)).astype(np.uint16)):
+            blob = _pil_j2k(arr, irreversible=False)
+            a = j2k_decode(blob)
+            b = j2k_decode_py(blob)
+            assert a.dtype == b.dtype and a.shape == b.shape
+            np.testing.assert_array_equal(a, b)
