@@ -215,9 +215,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
 
     # configs whose every enabled augmentation the fused Pallas kernel
-    # implements take it; anything else (RGB, blur, jitter, CT windowing, or
-    # future ViewConfig fields) takes the XLA matmul path — the gate fails
-    # safe so no enabled augmentation is ever silently dropped
+    # implements take it (grayscale + RGB, incl. CT windowing); anything else
+    # (blur, jitter, or future ViewConfig fields) takes the XLA matmul path —
+    # the gate fails safe so no enabled augmentation is ever silently dropped
     from medical_image_segmentation_tpu.ops.pallas_augment import pallas_supported
 
     use_pallas = (

