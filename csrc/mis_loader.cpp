@@ -271,6 +271,85 @@ void place(const uint8_t* src, int sh, int sw, uint8_t* out, int oh, int ow, int
   }
 }
 
+// bilinear crop-resize of one channel-interleaved uint8 image into a view.
+// Half-pixel convention matching the device resampler exactly
+// (ops/augment.py::_resize_matrix): src = start + (i+0.5)*size/out - 0.5,
+// clipped, 2-tap lerp; a horizontal flip mirrors the OUTPUT coordinate
+// (ops/pallas_augment.py::_interp_rows mirror=true). Output rounds to
+// nearest uint8 — same quantization the reference's FFCV/torchvision
+// uint8 pipeline applies after RandomResizedCrop.
+void crop_resize_bilinear(const uint8_t* src, int sh, int sw, int c,
+                          float y0, float x0, float ch, float cw, int flip,
+                          uint8_t* out, int vh, int vw) {
+  const float sy = ch / vh, sx = cw / vw;
+  // precompute x taps once per row sweep
+  thread_local std::vector<int> xl_v, xh_v;
+  thread_local std::vector<float> xf_v;
+  xl_v.resize(vw);
+  xh_v.resize(vw);
+  xf_v.resize(vw);
+  for (int j = 0; j < vw; ++j) {
+    float pos = flip ? (vw - (j + 0.5f)) : (j + 0.5f);
+    float fx = x0 + pos * sx - 0.5f;
+    if (fx < 0.f) fx = 0.f;
+    const float mx = float(sw - 1);
+    if (fx > mx) fx = mx;
+    int lo = (int)fx;
+    xl_v[j] = lo;
+    xh_v[j] = lo + 1 < sw ? lo + 1 : lo;
+    xf_v[j] = fx - lo;
+  }
+  for (int i = 0; i < vh; ++i) {
+    float fy = y0 + (i + 0.5f) * sy - 0.5f;
+    if (fy < 0.f) fy = 0.f;
+    const float my = float(sh - 1);
+    if (fy > my) fy = my;
+    int ylo = (int)fy;
+    int yhi = ylo + 1 < sh ? ylo + 1 : ylo;
+    float yf = fy - ylo;
+    const uint8_t* r0 = src + size_t(ylo) * sw * c;
+    const uint8_t* r1 = src + size_t(yhi) * sw * c;
+    uint8_t* orow = out + size_t(i) * vw * c;
+    for (int j = 0; j < vw; ++j) {
+      const int xl = xl_v[j] * c, xh = xh_v[j] * c;
+      const float xf = xf_v[j];
+      for (int k = 0; k < c; ++k) {
+        float top = r0[xl + k] + (r0[xh + k] - r0[xl + k]) * xf;
+        float bot = r1[xl + k] + (r1[xh + k] - r1[xl + k]) * xf;
+        float v = top + (bot - top) * yf;
+        orow[size_t(j) * c + k] = (uint8_t)(v + 0.5f);
+      }
+    }
+  }
+}
+
+// decode sample idx at native resolution into tmp; returns 0 and sets
+// (h, w, ptr) or a negative error code. RAW points into the mmap (zero
+// copy); JPEG/PNG decode into the thread-local tmp.
+int decode_native(const Store* s, int64_t idx, std::vector<uint8_t>& tmp,
+                  int oc, int* h, int* w, const uint8_t** ptr, int32_t* label) {
+  if (idx < 0 || (uint64_t)idx >= s->header.num_samples) return -2;
+  const Record& r = s->records[idx];
+  if (r.offset > s->size || r.length > s->size - r.offset) return -4;
+  const uint8_t* payload = s->base + r.offset;
+  *label = r.label;
+  if (r.codec == kCodecRaw) {
+    if (r.height == 0 || r.width == 0 || r.channels == 0) return -5;
+    if (r.length < (uint64_t)r.height * r.width * r.channels) return -5;
+    if (r.channels != oc) return -3;
+    *h = r.height;
+    *w = r.width;
+    *ptr = payload;
+    return 0;
+  }
+  int rc = (r.codec == kCodecJpeg) ? decode_jpeg(payload, r.length, tmp, oc, h, w)
+                                   : decode_png(payload, r.length, tmp, oc, h, w);
+  if (rc != 0) return rc;
+  if (*h <= 0 || *w <= 0) return -6;
+  *ptr = tmp.data();
+  return 0;
+}
+
 int decode_one(const Store* s, int64_t idx, uint8_t* out, int oh, int ow, int oc,
                int32_t* label) {
   if (idx < 0 || (uint64_t)idx >= s->header.num_samples) return -2;
@@ -393,6 +472,82 @@ int mis_fetch(void* store, const int64_t* indices, int n, uint8_t* out,
     work();
   } else {
     // persistent pool: caller + (num_threads-1) workers share the claim queue
+    s->pool.run(work, num_threads - 1);
+  }
+  return err.load();
+}
+
+// Host-side RandomResizedCrop fast path: decode each sample once at native
+// resolution, then emit `views` bilinear crop-resized views per sample.
+//
+// Rationale (BASELINE.md "store mode"): shipping V pre-cropped views of
+// vh*vw*oc bytes instead of one full oh*ow*oc image cuts H2D bytes ~2x for
+// the canonical 256^2 store -> 2x112^2 SSL views — the win that matters on
+// narrow host<->device links where the DMA, not decode, is the bottleneck.
+// The crop geometry matches the device resampler (ops/augment.py) so the
+// two paths are interchangeable (parity-tested in tests/test_precrop.py);
+// the elementwise augmentation tail (solarize/windowing/normalize) still
+// runs on device.
+//
+// params: n * views * 5 floats per view, laid out [sample][view][5] =
+//   (y0, x0, crop_h, crop_w, flip). out: (views * n, vh, vw, oc) uint8 with
+//   view v of sample i at index v*n + i — view-major, so Python can split
+//   the device array into per-view batches with zero copies.
+// Returns 0 or the first nonzero per-sample error code.
+int mis_fetch_views(void* store, const int64_t* indices, int n,
+                    const float* params, int views, uint8_t* out,
+                    int vh, int vw, int oc, int32_t* labels, int num_threads) {
+  Store* s = static_cast<Store*>(store);
+  if (n <= 0 || views <= 0 || vh <= 0 || vw <= 0 || oc <= 0) return -7;
+  const size_t vstride = size_t(vh) * vw * oc;
+
+  for (int i = 0; i < n; ++i) {
+    if (indices[i] < 0 || (uint64_t)indices[i] >= s->header.num_samples) continue;
+    const Record& r = s->records[indices[i]];
+    if (r.offset > s->size || r.length > s->size - r.offset) continue;
+    uintptr_t a = reinterpret_cast<uintptr_t>(s->base + r.offset) & ~uintptr_t(4095);
+    size_t len = (r.length + 4096 + 4095) & ~size_t(4095);
+    madvise(reinterpret_cast<void*>(a), len, MADV_WILLNEED);
+  }
+
+  std::atomic<int> next{0};
+  std::atomic<int> err{0};
+  auto work = [&]() {
+    thread_local std::vector<uint8_t> tmp;
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      int h = 0, w = 0;
+      const uint8_t* src = nullptr;
+      int rc = decode_native(s, indices[i], tmp, oc, &h, &w, &src, labels + i);
+      if (rc != 0) {
+        int expected = 0;
+        err.compare_exchange_strong(expected, rc);
+        continue;
+      }
+      for (int v = 0; v < views; ++v) {
+        const float* p = params + (size_t(i) * views + v) * 5;
+        float ch = p[2], cw = p[3];
+        // degenerate/out-of-range windows clamp rather than fault: the
+        // caller samples windows in float and rounding can push y0+ch
+        // epsilon past the edge
+        if (!(ch >= 1.f)) ch = 1.f;
+        if (!(cw >= 1.f)) cw = 1.f;
+        if (ch > h) ch = (float)h;
+        if (cw > w) cw = (float)w;
+        float y0 = p[0], x0 = p[1];
+        if (!(y0 >= 0.f)) y0 = 0.f;
+        if (!(x0 >= 0.f)) x0 = 0.f;
+        if (y0 > h - ch) y0 = h - ch;
+        if (x0 > w - cw) x0 = w - cw;
+        crop_resize_bilinear(src, h, w, oc, y0, x0, ch, cw, p[4] != 0.f,
+                             out + (size_t(v) * n + i) * vstride, vh, vw);
+      }
+    }
+  };
+  if (num_threads <= 1) {
+    work();
+  } else {
     s->pool.run(work, num_threads - 1);
   }
   return err.load();

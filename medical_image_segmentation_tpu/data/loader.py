@@ -136,7 +136,15 @@ class Loader:
         out_hw: Optional[Tuple[int, int]] = None,
         prefetch: int = 2,
         use_native: bool = True,
+        precrop: Optional[dict] = None,
     ):
+        """``precrop``: host-side RandomResizedCrop mode (see
+        data/host_precrop.py) — dict with keys ``out_hw`` (required view
+        size), ``n_views`` (default 2), ``scale``/``ratio`` (RRC params,
+        torchvision defaults), ``hflip_prob`` (default 0.5). Batches become
+        ((n_views*B, vh, vw, C) uint8 views — view-major, rows [v*B:(v+1)*B]
+        are view v — , (B,) labels) and H2D shrinks to the view bytes. The
+        device-side elementwise tail is ops.augment.two_view_tail_augment."""
         self.store_path = store_path
         self.batch_size = batch_size
         self.order_mode = order
@@ -173,6 +181,15 @@ class Loader:
         self.out_hw = out_hw or shape[:2]
         self.channels = shape[2]
         self._n_total = self._native.num_samples if self._native else len(self._reader)
+        self.precrop = dict(precrop) if precrop else None
+        if self.precrop is not None:
+            self.precrop.setdefault("n_views", 2)
+            self.precrop.setdefault("scale", (0.08, 1.0))
+            self.precrop.setdefault("ratio", (0.75, 4.0 / 3.0))
+            self.precrop.setdefault("hflip_prob", 0.5)
+            if "out_hw" not in self.precrop:
+                raise ValueError("precrop requires 'out_hw' (the view size)")
+            self._store_hw = shape[:2]
 
     @property
     def num_samples(self) -> int:
@@ -226,11 +243,41 @@ class Loader:
         for s in range(0, end, self.batch_size):
             yield mine[s : s + self.batch_size]
 
+    def _fetch_views(self, idxs: np.ndarray, epoch: int, batch_index: int):
+        """Host pre-crop fetch: sample this batch's RRC windows
+        deterministically from (seed, epoch, batch_index) — so --resume
+        replays the identical augmentation stream — then decode+crop in the
+        C++ workers (numpy fallback without a toolchain). Windows are sampled
+        in the store's nominal (header) coordinates; per-record deviations
+        are clamped at decode."""
+        from medical_image_segmentation_tpu.data.host_precrop import (
+            fetch_views_fallback, make_view_params,
+        )
+
+        pc = self.precrop
+        in_h, in_w = self._store_hw
+        params = make_view_params(
+            self.seed, epoch, batch_index, len(idxs), in_h, in_w,
+            n_views=pc["n_views"], scale=pc["scale"], ratio=pc["ratio"],
+            hflip_prob=pc["hflip_prob"],
+        )
+        if self._native is not None:
+            return self._native.fetch_views(
+                idxs, params, pc["out_hw"], num_threads=self.num_threads)
+        return fetch_views_fallback(self._reader, idxs, params, pc["out_hw"])
+
     def __iter__(self):
         def gen():
-            for idxs in self._batches():
+            # capture before _batches advances the counter: _batches reads
+            # this same value for its permutation, so the window stream and
+            # the data order share one epoch
+            epoch = self.epoch
+            for b_idx, idxs in enumerate(self._batches()):
                 with self.timers.stage("decode"):
-                    batch = self._fetch(idxs)
+                    if self.precrop is not None:
+                        batch = self._fetch_views(idxs, epoch, b_idx)
+                    else:
+                        batch = self._fetch(idxs)
                 yield batch
 
         yield from prefetch_iter(gen, self.prefetch)

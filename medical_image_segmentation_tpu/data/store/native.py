@@ -86,6 +86,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
         ]
+        lib.mis_fetch_views.restype = ctypes.c_int
+        lib.mis_fetch_views.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ]
         # compressed-DICOM codecs (csrc/dicom_codecs.cpp)
         lib.jls_probe.restype = ctypes.c_int
         lib.jls_probe.argtypes = [
@@ -172,6 +181,49 @@ class NativeStore:
         )
         if rc != 0:
             raise IOError(f"mis_fetch error {rc}")
+        return out, labels
+
+    def fetch_views(
+        self,
+        indices: np.ndarray,
+        params: np.ndarray,
+        out_hw: tuple,
+        out: Optional[np.ndarray] = None,
+        labels: Optional[np.ndarray] = None,
+        num_threads: int = 4,
+    ):
+        """Host-side RandomResizedCrop fast path: decode each sample once and
+        emit V bilinear crop-resized views, view-major.
+
+        ``params`` is float32 (B, V, 5) = (y0, x0, crop_h, crop_w, flip) per
+        view in source-pixel coordinates (same convention as
+        ``ops.augment._resize_matrix``). Returns ((V*B, vh, vw, C) uint8,
+        (B,) int32) — view v of sample i lives at row ``v*B + i`` so the
+        device array splits into per-view batches without copies.
+        """
+        indices = np.ascontiguousarray(indices, np.int64)
+        n = len(indices)
+        params = np.ascontiguousarray(params, np.float32)
+        if params.shape[0] != n or params.shape[-1] != 5:
+            raise ValueError(f"params must be (B, V, 5); got {params.shape}")
+        views = int(params.shape[1]) if params.ndim == 3 else 1
+        vh, vw = out_hw
+        oc = self.shape[2]
+        if out is None:
+            out = np.empty((views * n, vh, vw, oc), np.uint8)
+        if labels is None:
+            labels = np.empty((n,), np.int32)
+        rc = self._lib.mis_fetch_views(
+            self._handle,
+            indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+            params.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), views,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            vh, vw, oc,
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            num_threads,
+        )
+        if rc != 0:
+            raise IOError(f"mis_fetch_views error {rc}")
         return out, labels
 
     def close(self):

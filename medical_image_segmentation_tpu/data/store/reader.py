@@ -29,9 +29,11 @@ class StoreReader:
         self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
         self.header = StoreHeader.unpack(self._mm[:HEADER_SIZE])
         n = self.header.num_samples
-        # vectorized index table view
+        # vectorized index table — copied (32 B/sample) so no buffer export
+        # pins the mmap open (mmap.close() raises BufferError while any
+        # frombuffer view of it is alive)
         raw = np.frombuffer(self._mm, np.uint8, n * RECORD_SIZE, HEADER_SIZE)
-        self._table = raw.reshape(n, RECORD_SIZE)
+        self._table = raw.reshape(n, RECORD_SIZE).copy()
 
     def __len__(self) -> int:
         return self.header.num_samples

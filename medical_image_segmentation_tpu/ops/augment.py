@@ -215,9 +215,20 @@ def augment_view(
         r_x = jnp.einsum("bij,bjk->bik", _blur_matrix(keys[3], b, out_w, cfg.blur_kernel, cfg.blur_prob, dtype), r_x)
 
     x = apply_resample(images, r_y, r_x).astype(jnp.float32)  # (B,h,w,C), 0..255
+    return _elementwise_tail((keys[4], keys[5], keys[6], keys[7]), x, cfg, mean, std, dtype)
+
+
+def _elementwise_tail(keys, x, cfg: ViewConfig, mean, std, dtype) -> jax.Array:
+    """The post-resample elementwise ops (jitter / grayscale / windowing /
+    solarize / normalize), shared by the full device path (augment_view) and
+    the host-precrop tail (augment_view_tail). ``keys`` = (jitter, grayscale,
+    solarize, window) — positions match augment_view's historical key split,
+    so the RNG stream of the full path is unchanged by this refactor."""
+    b = x.shape[0]
+    c = x.shape[-1]
 
     if cfg.jitter_prob > 0.0:
-        jk = jax.random.split(keys[4], 4)
+        jk = jax.random.split(keys[0], 4)
         on = (jax.random.uniform(jk[0], (b, 1, 1, 1)) < cfg.jitter_prob).astype(jnp.float32)
         if cfg.brightness > 0:
             f = jax.random.uniform(jk[1], (b, 1, 1, 1), minval=1 - cfg.brightness, maxval=1 + cfg.brightness)
@@ -233,12 +244,12 @@ def augment_view(
         x = jnp.clip(x, 0.0, 255.0)
 
     if cfg.grayscale_prob > 0.0 and c == 3:
-        coin = jax.random.uniform(keys[5], (b, 1, 1, 1)) < cfg.grayscale_prob
+        coin = jax.random.uniform(keys[1], (b, 1, 1, 1)) < cfg.grayscale_prob
         gray = jnp.sum(x * jnp.asarray([0.299, 0.587, 0.114]), axis=-1, keepdims=True)
         x = jnp.where(coin, jnp.broadcast_to(gray, x.shape), x)
 
     if cfg.window_prob > 0.0:
-        wk1, wk2, wk3 = jax.random.split(keys[7], 3)
+        wk1, wk2, wk3 = jax.random.split(keys[3], 3)
         on = jax.random.uniform(wk1, (b, 1, 1, 1)) < cfg.window_prob
         level = jax.random.uniform(wk2, (b, 1, 1, 1), minval=cfg.window_level_range[0],
                                    maxval=cfg.window_level_range[1])
@@ -249,7 +260,7 @@ def augment_view(
         x = jnp.where(on, rewin, x)
 
     if cfg.solarize_prob > 0.0:
-        coin = jax.random.uniform(keys[6], (b, 1, 1, 1)) < cfg.solarize_prob
+        coin = jax.random.uniform(keys[2], (b, 1, 1, 1)) < cfg.solarize_prob
         x = jnp.where(coin & (x >= cfg.solarize_threshold), 255.0 - x, x)
 
     mean_a = jnp.asarray(mean, jnp.float32).reshape(1, 1, 1, -1)
@@ -276,6 +287,53 @@ def two_view_augment(
     r1, r2 = jax.random.split(rng)
     v1 = augment_view(r1, images, cfg1, mean, std, dtype)
     v2 = augment_view(r2, images, cfg2, mean, std, dtype)
+    return v1, v2
+
+
+def precrop_supported(cfg: ViewConfig) -> bool:
+    """True if ``cfg``'s post-crop ops are all elementwise, i.e. the view can
+    be produced by the host pre-crop path (data/host_precrop.py) + the device
+    tail. Only Gaussian blur disqualifies — it needs the resample matrices."""
+    return cfg.blur_prob == 0.0
+
+
+def augment_view_tail(
+    rng: jax.Array,
+    views: jax.Array,           # (B, out_h, out_w, C) uint8 pre-cropped views
+    cfg: ViewConfig,
+    mean: Sequence[float],
+    std: Sequence[float],
+    dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Elementwise tail for host-pre-cropped views: the crop/resize/flip
+    already happened in the C++ loader (mis_fetch_views); apply the same
+    jitter/grayscale/windowing/solarize/normalize ops as augment_view."""
+    if not precrop_supported(cfg):
+        raise ValueError("blur_prob > 0 requires the full device augment path")
+    keys = jax.random.split(rng, 4)
+    return _elementwise_tail(keys, views.astype(jnp.float32), cfg, mean, std, dtype)
+
+
+@partial(jax.jit, static_argnames=("cfg1", "cfg2", "mean", "std", "dtype"))
+def two_view_tail_augment(
+    rng: jax.Array,
+    views: jax.Array,           # (2B, h, w, C) view-major (view1 rows first)
+    cfg1: ViewConfig = BYOL_VIEW1,
+    cfg2: ViewConfig = BYOL_VIEW2,
+    mean: Tuple[float, ...] = (57.9764,),
+    std: Tuple[float, ...] = (60.4759,),
+    dtype=jnp.bfloat16,
+) -> Tuple[jax.Array, jax.Array]:
+    """Two-view elementwise tail over the (2B, h, w, C) array that
+    NativeStore.fetch_views ships (view-major: rows [0:B] = view 1,
+    [B:2B] = view 2). Pairs with Loader(precrop=...)."""
+    b2 = views.shape[0]
+    if b2 % 2:
+        raise ValueError("precrop views array must hold 2 views per sample")
+    b = b2 // 2
+    r1, r2 = jax.random.split(rng)
+    v1 = augment_view_tail(r1, views[:b], cfg1, mean, std, dtype)
+    v2 = augment_view_tail(r2, views[b:], cfg2, mean, std, dtype)
     return v1, v2
 
 
