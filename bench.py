@@ -87,6 +87,11 @@ def main():
     ap.add_argument("--store_images", type=int, default=4096, help="size of --store auto")
     ap.add_argument("--num_threads", type=int, default=0,
                     help="loader decode threads (0 = host cpu count)")
+    ap.add_argument("--precrop", action="store_true",
+                    help="with --store: host-side RandomResizedCrop in the C++ "
+                         "workers (ships 2x crop^2 views instead of full images "
+                         "— ~2.6x fewer H2D bytes at 256->112; the elementwise "
+                         "augment tail still runs on device)")
     ap.add_argument("--remat", action="store_true",
                     help="checkpoint residual blocks (fit bigger archs/batches)")
     ap.add_argument("--profile", default=None, metavar="DIR",
@@ -122,16 +127,35 @@ def main():
 
     from functools import partial as _partial
 
-    @_partial(jax.jit, donate_argnums=0)
-    def step(state, raw, key):
-        v1, v2 = pallas_two_view_augment(key, raw, cfg1, cfg2)
-        return task.train_step(state, v1, v2)
+    if args.precrop:
+        if args.store is None:
+            raise SystemExit("--precrop requires --store")
+        from medical_image_segmentation_tpu.ops.augment import two_view_tail_augment
+
+        @_partial(jax.jit, donate_argnums=0)
+        def step(state, views, key):
+            # views: (2B, crop, crop, 1) uint8, crop/resize/flip already done
+            # by the C++ loader (mis_fetch_views); only the elementwise tail
+            # (solarize/windowing/normalize) runs here
+            v1, v2 = two_view_tail_augment(key, views, cfg1, cfg2)
+            return task.train_step(state, v1, v2)
+    else:
+        @_partial(jax.jit, donate_argnums=0)
+        def step(state, raw, key):
+            v1, v2 = pallas_two_view_augment(key, raw, cfg1, cfg2)
+            return task.train_step(state, v1, v2)
 
     rng = np.random.default_rng(0)
-    probe = shard_batch(
-        mesh,
-        rng.integers(0, 256, size=(args.batch_size, args.image_size, args.image_size, 1)).astype(np.uint8),
+    # probe drives warmup (device mode) and the post-timing cost analysis —
+    # it must match the shape step() actually compiles for: full images in
+    # the device-augment path, 2x pre-cropped views in the precrop path
+    probe_shape = (
+        (2 * args.batch_size, args.crop_size, args.crop_size, 1)
+        if args.precrop
+        else (args.batch_size, args.image_size, args.image_size, 1)
     )
+    probe = shard_batch(
+        mesh, rng.integers(0, 256, size=probe_shape).astype(np.uint8))
     key = jax.random.key(1)
 
     mode = "device" if args.store is None else "store"
@@ -157,6 +181,7 @@ def main():
             store_path, args.batch_size, order=RANDOM,
             num_threads=args.num_threads or (os.cpu_count() or 4),
             out_hw=(args.image_size, args.image_size),
+            precrop={"out_hw": (args.crop_size, args.crop_size)} if args.precrop else None,
         )
         if loader.channels != 1:
             raise SystemExit("bench expects a grayscale (1-channel) store")
@@ -220,7 +245,11 @@ def main():
         # machine-checkable bottleneck attribution (VERDICT r2 weak #1):
         # the per-stage split must be in the JSON line, not just stderr
         out["num_decode_threads"] = args.num_threads or (os.cpu_count() or 4)
-        out["h2d_bytes_per_batch"] = args.batch_size * args.image_size * args.image_size
+        out["precrop"] = args.precrop
+        out["h2d_bytes_per_batch"] = (
+            2 * args.batch_size * args.crop_size * args.crop_size
+            if args.precrop
+            else args.batch_size * args.image_size * args.image_size)
         if loader is not None and loader.timers is not None:
             for stage, (tot, n) in loader.timers.snapshot().items():
                 out[f"{stage}_ms_per_batch"] = round(tot / max(n, 1) * 1e3, 2)

@@ -490,9 +490,13 @@ int mis_fetch(void* store, const int64_t* indices, int n, uint8_t* out,
 // runs on device.
 //
 // params: n * views * 5 floats per view, laid out [sample][view][5] =
-//   (y0, x0, crop_h, crop_w, flip). out: (views * n, vh, vw, oc) uint8 with
-//   view v of sample i at index v*n + i — view-major, so Python can split
-//   the device array into per-view batches with zero copies.
+//   (y0, x0, crop_h, crop_w, flip). out: (n * views, vh, vw, oc) uint8 with
+//   view v of sample i at index i*views + v — SAMPLE-major. This layout is
+//   load-bearing for SPMD: the global batch is assembled by concatenating
+//   per-host shards along axis 0 (parallel/mesh.py::shard_batch), and a
+//   batch-sharded (B*V, ...) array reshapes to (B, V, ...) with each
+//   device slicing its own rows — view-major would interleave hosts'
+//   pairs wrongly and force cross-device resharding on the view split.
 // Returns 0 or the first nonzero per-sample error code.
 int mis_fetch_views(void* store, const int64_t* indices, int n,
                     const float* params, int views, uint8_t* out,
@@ -541,7 +545,7 @@ int mis_fetch_views(void* store, const int64_t* indices, int n,
         if (y0 > h - ch) y0 = h - ch;
         if (x0 > w - cw) x0 = w - cw;
         crop_resize_bilinear(src, h, w, oc, y0, x0, ch, cw, p[4] != 0.f,
-                             out + (size_t(v) * n + i) * vstride, vh, vw);
+                             out + (size_t(i) * views + v) * vstride, vh, vw);
       }
     }
   };

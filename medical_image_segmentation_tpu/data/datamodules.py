@@ -80,13 +80,15 @@ class SSLDataModule:
         )
 
     def train_loader(self, batch_size: int, num_threads: int = 8, seed: int = 0,
-                     shard: Tuple[int, int] = (0, 1), distributed: bool = False) -> Loader:
+                     shard: Tuple[int, int] = (0, 1), distributed: bool = False,
+                     precrop: Optional[dict] = None) -> Loader:
         if not self.train_store or not os.path.exists(self.train_store):
             raise FileNotFoundError(f"train store not found: {self.train_store!r}")
         # QUASI_RANDOM when distributed else RANDOM (lightning_module.py:141-151)
         order = QUASI_RANDOM if distributed else RANDOM
         return Loader(self.train_store, batch_size, order=order,
-                      num_threads=num_threads, seed=seed, shard=shard, drop_last=True)
+                      num_threads=num_threads, seed=seed, shard=shard, drop_last=True,
+                      precrop=precrop)
 
     def val_loader(self, batch_size: int, num_threads: int = 8,
                    shard: Tuple[int, int] = (0, 1)) -> Loader:

@@ -123,14 +123,14 @@ def crop_resize_bilinear_np(
 def fetch_views_fallback(reader, indices, params, out_hw):
     """StoreReader-backed pure-Python fetch_views (no native toolchain).
 
-    Same output layout as NativeStore.fetch_views: (V*B, vh, vw, C) uint8
-    view-major + (B,) int32 labels.
+    Same output layout as NativeStore.fetch_views: (B*V, vh, vw, C) uint8
+    SAMPLE-major (view v of sample i at row i*V + v) + (B,) int32 labels.
     """
     n = len(indices)
     views = params.shape[1]
     vh, vw = out_hw
     c = reader.header.channels
-    out = np.empty((views * n, vh, vw, c), np.uint8)
+    out = np.empty((n * views, vh, vw, c), np.uint8)
     labels = np.empty((n,), np.int32)
     for i, idx in enumerate(indices):
         img, lab = reader[int(idx)]
@@ -142,6 +142,6 @@ def fetch_views_fallback(reader, indices, params, out_hw):
             cw = float(np.clip(cw, 1.0, w))
             y0 = float(np.clip(y0, 0.0, h - ch))
             x0 = float(np.clip(x0, 0.0, w - cw))
-            out[v * n + i] = crop_resize_bilinear_np(
+            out[i * views + v] = crop_resize_bilinear_np(
                 img, y0, x0, ch, cw, bool(flip), vh, vw)
     return out, labels

@@ -142,9 +142,10 @@ class Loader:
         data/host_precrop.py) — dict with keys ``out_hw`` (required view
         size), ``n_views`` (default 2), ``scale``/``ratio`` (RRC params,
         torchvision defaults), ``hflip_prob`` (default 0.5). Batches become
-        ((n_views*B, vh, vw, C) uint8 views — view-major, rows [v*B:(v+1)*B]
-        are view v — , (B,) labels) and H2D shrinks to the view bytes. The
-        device-side elementwise tail is ops.augment.two_view_tail_augment."""
+        ((B*n_views, vh, vw, C) uint8 views — sample-major, rows
+        [i*V:(i+1)*V] are sample i's views — , (B,) labels) and H2D shrinks
+        to the view bytes. The device-side elementwise tail is
+        ops.augment.two_view_tail_augment."""
         self.store_path = store_path
         self.batch_size = batch_size
         self.order_mode = order

@@ -197,9 +197,11 @@ class NativeStore:
 
         ``params`` is float32 (B, V, 5) = (y0, x0, crop_h, crop_w, flip) per
         view in source-pixel coordinates (same convention as
-        ``ops.augment._resize_matrix``). Returns ((V*B, vh, vw, C) uint8,
-        (B,) int32) — view v of sample i lives at row ``v*B + i`` so the
-        device array splits into per-view batches without copies.
+        ``ops.augment._resize_matrix``). Returns ((B*V, vh, vw, C) uint8,
+        (B,) int32) — SAMPLE-major: view v of sample i lives at row
+        ``i*V + v``, so per-host shards concatenate into a correct global
+        batch and the on-device (B, V, ...) reshape/split is shard-local
+        (see the layout note in csrc/mis_loader.cpp::mis_fetch_views).
         """
         indices = np.ascontiguousarray(indices, np.int64)
         n = len(indices)
@@ -210,7 +212,7 @@ class NativeStore:
         vh, vw = out_hw
         oc = self.shape[2]
         if out is None:
-            out = np.empty((views * n, vh, vw, oc), np.uint8)
+            out = np.empty((n * views, vh, vw, oc), np.uint8)
         if labels is None:
             labels = np.empty((n,), np.int32)
         rc = self._lib.mis_fetch_views(

@@ -317,7 +317,7 @@ def augment_view_tail(
 @partial(jax.jit, static_argnames=("cfg1", "cfg2", "mean", "std", "dtype"))
 def two_view_tail_augment(
     rng: jax.Array,
-    views: jax.Array,           # (2B, h, w, C) view-major (view1 rows first)
+    views: jax.Array,           # (2B, h, w, C) sample-major (rows 2i, 2i+1)
     cfg1: ViewConfig = BYOL_VIEW1,
     cfg2: ViewConfig = BYOL_VIEW2,
     mean: Tuple[float, ...] = (57.9764,),
@@ -325,15 +325,21 @@ def two_view_tail_augment(
     dtype=jnp.bfloat16,
 ) -> Tuple[jax.Array, jax.Array]:
     """Two-view elementwise tail over the (2B, h, w, C) array that
-    NativeStore.fetch_views ships (view-major: rows [0:B] = view 1,
-    [B:2B] = view 2). Pairs with Loader(precrop=...)."""
+    NativeStore.fetch_views ships (SAMPLE-major: rows 2i, 2i+1 are the two
+    views of sample i). Pairs with Loader(precrop=...).
+
+    Sample-major keeps the split shard-local under SPMD: a batch-sharded
+    (2B, ...) array reshapes to (B, 2, ...) with each device slicing its
+    own rows, and per-host shards concatenate into a correct global batch
+    (view-major would pair view 1 of host 0 with view 1 of host 1)."""
     b2 = views.shape[0]
     if b2 % 2:
         raise ValueError("precrop views array must hold 2 views per sample")
     b = b2 // 2
+    vv = views.reshape(b, 2, *views.shape[1:])
     r1, r2 = jax.random.split(rng)
-    v1 = augment_view_tail(r1, views[:b], cfg1, mean, std, dtype)
-    v2 = augment_view_tail(r2, views[b:], cfg2, mean, std, dtype)
+    v1 = augment_view_tail(r1, vv[:, 0], cfg1, mean, std, dtype)
+    v2 = augment_view_tail(r2, vv[:, 1], cfg2, mean, std, dtype)
     return v1, v2
 
 

@@ -78,6 +78,13 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
                          "(lightning_module.py:39-64)")
     ap.add_argument("--window_prob", type=float, default=None,
                     help="random CT re-windowing probability (0 = reference parity)")
+    ap.add_argument("--host_precrop", action="store_true",
+                    help="RandomResizedCrop in the C++ decode workers: ship 2x crop^2 "
+                         "views instead of full images (~2.6x fewer H2D bytes at "
+                         "256->112) and run only the elementwise augment tail on "
+                         "device. Parity with the device path is bit-tested "
+                         "(tests/test_precrop.py); requires a blur-free recipe "
+                         "(the torchvision recipe needs the device resampler)")
     ap.add_argument("--remat", action="store_true",
                     help="checkpoint each residual block (less activation memory, "
                          "~1/3 more bwd FLOPs) — for resnet101/152 or very large batches")
@@ -150,9 +157,27 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         dm.aug_recipe = args.aug_recipe
     if args.window_prob is not None:
         dm.window_prob = args.window_prob
+    cfg1, cfg2 = dm.view_configs()
+    precrop = None
+    if args.host_precrop:
+        from medical_image_segmentation_tpu.ops.augment import precrop_supported
+
+        if not (precrop_supported(cfg1) and precrop_supported(cfg2)):
+            raise SystemExit(
+                "--host_precrop requires an all-elementwise post-crop recipe "
+                "(no GaussianBlur) — use the default ffcv recipe, not torchvision")
+        if (cfg1.crop_scale, cfg1.crop_ratio, cfg1.hflip_prob) != (
+                cfg2.crop_scale, cfg2.crop_ratio, cfg2.hflip_prob):
+            raise SystemExit("--host_precrop needs both views to share crop geometry")
+        precrop = {
+            "out_hw": (dm.crop_size, dm.crop_size), "n_views": 2,
+            "scale": cfg1.crop_scale, "ratio": cfg1.crop_ratio,
+            "hflip_prob": cfg1.hflip_prob,
+        }
     per_host_batch = args.batch_size // nproc
     train_loader = dm.train_loader(per_host_batch, num_threads=args.num_workers,
-                                   seed=args.seed, shard=(proc, nproc), distributed=nproc > 1)
+                                   seed=args.seed, shard=(proc, nproc), distributed=nproc > 1,
+                                   precrop=precrop)
     steps_per_epoch = len(train_loader)
     if args.limit_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, args.limit_steps_per_epoch)
@@ -210,7 +235,6 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             train_loader.epoch = start_epoch
             print(f"resumed from step {int(np.asarray(state.step))} (epoch {start_epoch})", file=sys.stderr)
 
-    cfg1, cfg2 = dm.view_configs()
     mean, std = tuple(dm.train_mean), tuple(dm.train_std)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
 
@@ -233,7 +257,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     @partial(jax.jit, donate_argnums=0)
     def train_step(state, imgs, labels, key):
         labels = labels if has_labels else None
-        if use_pallas:
+        if args.host_precrop:
+            # imgs: (2B, crop, crop, C) pre-cropped views from the C++ loader
+            from medical_image_segmentation_tpu.ops.augment import two_view_tail_augment
+
+            v1, v2 = two_view_tail_augment(key, imgs, cfg1, cfg2, mean=mean, std=std, dtype=dtype)
+        elif use_pallas:
             v1, v2 = pallas_two_view_augment(key, imgs, cfg1, cfg2, mean=mean, std=std, dtype=dtype)
         else:
             v1, v2 = two_view_augment(key, imgs, cfg1, cfg2, mean=mean, std=std, dtype=dtype)

@@ -164,6 +164,34 @@ def test_train_ssl_torchvision_recipe_smoke(tmp_path, monkeypatch):
     assert rc == 0
 
 
+def test_train_ssl_host_precrop_smoke(tmp_path, monkeypatch):
+    """--host_precrop end-to-end on the 8-device CPU mesh: the C++ loader
+    ships pre-cropped sample-major views, the device runs only the
+    elementwise tail, and the step trains. Also pins the gate: the
+    torchvision recipe (GaussianBlur needs the device resampler) must be
+    rejected with a clear error."""
+    import numpy as np
+
+    from medical_image_segmentation_tpu.data.store import StoreWriter
+    from medical_image_segmentation_tpu.train.train_ssl import main
+
+    rng = np.random.default_rng(0)
+    with StoreWriter(str(tmp_path / "train.mis"), channels=3, with_labels=True) as w:
+        for i in range(32):
+            w.add(rng.integers(0, 256, size=(40, 40, 3)).astype(np.uint8), label=i % 4)
+    monkeypatch.setenv("CIFAR10_TRAIN_STORE", str(tmp_path / "train.mis"))
+    common = [
+        "--dataset", "CIFAR10", "--batch_size", "16", "--max_epochs", "1",
+        "--hidden_dim", "16", "--projection_dim", "8", "--num_workers", "1",
+        "--fp32", "--limit_steps_per_epoch", "1", "--warmup_epochs", "1",
+        "--host_precrop", "--val_every_epochs", "0",
+        "--checkpoint_dir", str(tmp_path / "ckpt"), "--log_dir", str(tmp_path / "logs"),
+    ]
+    assert main(common) == 0
+    with pytest.raises(SystemExit, match="host_precrop"):
+        main(common + ["--aug_recipe", "torchvision"])
+
+
 @pytest.mark.slow
 def test_train_ssl_model_parallel_smoke(tmp_path, monkeypatch):
     """--model_parallel 2 on the 8-device CPU mesh: (4 data, 2 model) mesh,

@@ -92,7 +92,8 @@ class TestCppOracleParity:
                 want = crop_resize_bilinear_np(
                     imgs[idx], float(y0), float(x0), float(ch), float(cw),
                     bool(flip), 16, 12)
-                diff = np.abs(got[v * len(idxs) + i].astype(int) - want.astype(int))
+                # sample-major layout: view v of sample i at row i*V + v
+                diff = np.abs(got[i * 2 + v].astype(int) - want.astype(int))
                 # identical math; <=1 tolerates float rounding ties at .5
                 assert diff.max() <= 1, f"sample {idx} view {v}: max diff {diff.max()}"
         ns.close()
@@ -255,6 +256,48 @@ class TestTailAugment:
         # applied: outputs are roughly standardized
         a = np.asarray(v1)
         assert abs(a.mean()) < 2.0 and 0.2 < a.std() < 5.0
+
+    def test_sample_major_layout_is_shard_safe(self):
+        """The layout invariant behind fetch_views' row order (i*V + v):
+
+        1. concatenating per-host sample-major shards yields a global array
+           whose (2i, 2i+1) rows are still the two views of one sample
+           (view-major would interleave hosts' pairs wrongly);
+        2. running the tail on the batch-sharded global array over the
+           8-device mesh equals the unsharded result — the (B, 2) reshape
+           split must stay shard-local, not resample across devices."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from medical_image_segmentation_tpu.ops.augment import (
+            BYOL_VIEW1, BYOL_VIEW2, two_view_tail_augment,
+        )
+
+        rng = np.random.default_rng(3)
+        # two "hosts", 8 samples each, V=2, sample-major local arrays
+        host_local = [rng.integers(0, 256, size=(16, 8, 8, 1)).astype(np.uint8)
+                      for _ in range(2)]
+        global_views = np.concatenate(host_local, axis=0)  # (32, 8, 8, 1)
+        for h in range(2):
+            for i in range(8):
+                np.testing.assert_array_equal(
+                    global_views[h * 16 + 2 * i], host_local[h][2 * i])
+                np.testing.assert_array_equal(
+                    global_views[h * 16 + 2 * i + 1], host_local[h][2 * i + 1])
+
+        key = jax.random.key(7)
+        args = dict(mean=(57.98,), std=(60.48,), dtype=jnp.float32)
+        ref1, ref2 = two_view_tail_augment(
+            key, jnp.asarray(global_views), BYOL_VIEW1, BYOL_VIEW2, **args)
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+        sharded = jax.device_put(
+            jnp.asarray(global_views), NamedSharding(mesh, P("data")))
+        got1, got2 = two_view_tail_augment(
+            key, sharded, BYOL_VIEW1, BYOL_VIEW2, **args)
+        np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1), atol=0)
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), atol=0)
 
     def test_blur_config_rejected(self):
         import jax
