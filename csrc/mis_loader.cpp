@@ -18,6 +18,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC mis_loader.cpp \
 //            -ljpeg -lpng -lz -pthread -o libmisloader.so
 
+#include <algorithm>
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
@@ -323,6 +324,102 @@ void crop_resize_bilinear(const uint8_t* src, int sh, int sw, int c,
   }
 }
 
+// clamp one (y0, x0, crop_h, crop_w) window to an h x w image — degenerate
+// or out-of-range windows clamp rather than fault (the caller samples
+// windows in float and rounding can push y0+ch epsilon past the edge).
+// Shared by the decode-window union and the per-view resample so both see
+// identical geometry.
+void clamp_window(const float* p, int h, int w,
+                  float* y0, float* x0, float* ch, float* cw) {
+  float fch = p[2], fcw = p[3];
+  if (!(fch >= 1.f)) fch = 1.f;
+  if (!(fcw >= 1.f)) fcw = 1.f;
+  if (fch > h) fch = (float)h;
+  if (fcw > w) fcw = (float)w;
+  float fy0 = p[0], fx0 = p[1];
+  if (!(fy0 >= 0.f)) fy0 = 0.f;
+  if (!(fx0 >= 0.f)) fx0 = 0.f;
+  if (fy0 > h - fch) fy0 = h - fch;
+  if (fx0 > w - fcw) fx0 = w - fcw;
+  *y0 = fy0;
+  *x0 = fx0;
+  *ch = fch;
+  *cw = fcw;
+}
+
+// decode only the union bounding box of the clamped crop windows (+-1 px
+// bilinear margin; libjpeg aligns the column window to iMCU boundaries) —
+// the FFCV RandomResizedCrop-at-decode trick: SSL crop windows average
+// roughly half the stored image, so skipping the un-sampled scanlines
+// (jpeg_skip_scanlines, jpeg_abort_decompress for the tail) and columns
+// (jpeg_crop_scanline) cuts Huffman+IDCT work accordingly. Outputs the
+// full image dims plus the decoded region's offset/size; pixels land in
+// tmp as a (bh, bw, c) block.
+int decode_jpeg_region(const uint8_t* buf, size_t len, std::vector<uint8_t>& tmp,
+                       int want_c, const float* params, int views,
+                       int* full_h, int* full_w,
+                       int* bx, int* by, int* bw, int* bh) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(buf), len);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = (want_c == 1) ? JCS_GRAYSCALE : JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  const int h = (int)cinfo.output_height, w = (int)cinfo.output_width;
+  const int c = cinfo.output_components;
+  if (h <= 0 || w <= 0) {
+    jpeg_destroy_decompress(&cinfo);
+    return -6;
+  }
+  float ylo = (float)h, yhi = 0.f, xlo = (float)w, xhi = 0.f;
+  for (int v = 0; v < views; ++v) {
+    float y0, x0, ch, cw;
+    clamp_window(params + v * 5, h, w, &y0, &x0, &ch, &cw);
+    ylo = std::min(ylo, y0);
+    yhi = std::max(yhi, y0 + ch);
+    xlo = std::min(xlo, x0);
+    xhi = std::max(xhi, x0 + cw);
+  }
+  int y_lo = std::max(0, (int)ylo - 1);
+  int y_hi = std::min(h, (int)yhi + 2);
+  if (y_hi <= y_lo) y_hi = y_lo + 1;
+  JDIMENSION xoff = (JDIMENSION)std::max(0, (int)xlo - 1);
+  JDIMENSION xwidth = (JDIMENSION)std::min(w, (int)xhi + 2) - xoff;
+  if (xwidth < 1) xwidth = 1;
+  // adjusts xoff/xwidth outward to iMCU boundaries — use the adjusted values
+  jpeg_crop_scanline(&cinfo, &xoff, &xwidth);
+  tmp.resize(size_t(y_hi - y_lo) * xwidth * c);
+  while ((int)cinfo.output_scanline < y_lo) {
+    // skips at most the requested count; 0 means no progress (corrupt tail)
+    if (jpeg_skip_scanlines(&cinfo, (JDIMENSION)(y_lo - (int)cinfo.output_scanline)) == 0)
+      break;
+  }
+  const int start = (int)cinfo.output_scanline;  // == y_lo unless corrupt
+  while ((int)cinfo.output_scanline < y_hi) {
+    JSAMPROW row = tmp.data() + size_t((int)cinfo.output_scanline - start) * xwidth * c;
+    if (jpeg_read_scanlines(&cinfo, &row, 1) == 0) break;
+  }
+  // abort instead of finish: the rows below the window are never Huffman-
+  // decoded, which is the whole point
+  jpeg_abort_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  if (start != y_lo) return -1;
+  *full_h = h;
+  *full_w = w;
+  *bx = (int)xoff;
+  *by = y_lo;
+  *bw = (int)xwidth;
+  *bh = y_hi - y_lo;
+  return 0;
+}
+
 // decode sample idx at native resolution into tmp; returns 0 and sets
 // (h, w, ptr) or a negative error code. RAW points into the mmap (zero
 // copy); JPEG/PNG decode into the thread-local tmp.
@@ -521,9 +618,28 @@ int mis_fetch_views(void* store, const int64_t* indices, int n,
     while (true) {
       int i = next.fetch_add(1);
       if (i >= n) break;
-      int h = 0, w = 0;
+      // full image dims for window clamping; (ox, oy, sh, sw) describe the
+      // decoded region (whole image except for the windowed-JPEG path)
+      int h = 0, w = 0, ox = 0, oy = 0, sh = 0, sw = 0;
       const uint8_t* src = nullptr;
-      int rc = decode_native(s, indices[i], tmp, oc, &h, &w, &src, labels + i);
+      int rc;
+      const int64_t idx = indices[i];
+      const Record* rec =
+          (idx >= 0 && (uint64_t)idx < s->header.num_samples) ? &s->records[idx] : nullptr;
+      if (rec && rec->codec == kCodecJpeg &&
+          rec->offset <= s->size && rec->length <= s->size - rec->offset) {
+        // JPEG: decode only the windows' union bounding box (see
+        // decode_jpeg_region) — RRC windows rarely need the whole image
+        labels[i] = rec->label;
+        rc = decode_jpeg_region(s->base + rec->offset, rec->length, tmp, oc,
+                                params + size_t(i) * views * 5, views,
+                                &h, &w, &ox, &oy, &sw, &sh);
+        src = tmp.data();
+      } else {
+        rc = decode_native(s, idx, tmp, oc, &h, &w, &src, labels + i);
+        sh = h;
+        sw = w;
+      }
       if (rc != 0) {
         int expected = 0;
         err.compare_exchange_strong(expected, rc);
@@ -531,20 +647,13 @@ int mis_fetch_views(void* store, const int64_t* indices, int n,
       }
       for (int v = 0; v < views; ++v) {
         const float* p = params + (size_t(i) * views + v) * 5;
-        float ch = p[2], cw = p[3];
-        // degenerate/out-of-range windows clamp rather than fault: the
-        // caller samples windows in float and rounding can push y0+ch
-        // epsilon past the edge
-        if (!(ch >= 1.f)) ch = 1.f;
-        if (!(cw >= 1.f)) cw = 1.f;
-        if (ch > h) ch = (float)h;
-        if (cw > w) cw = (float)w;
-        float y0 = p[0], x0 = p[1];
-        if (!(y0 >= 0.f)) y0 = 0.f;
-        if (!(x0 >= 0.f)) x0 = 0.f;
-        if (y0 > h - ch) y0 = h - ch;
-        if (x0 > w - cw) x0 = w - cw;
-        crop_resize_bilinear(src, h, w, oc, y0, x0, ch, cw, p[4] != 0.f,
+        float y0, x0, ch, cw;
+        clamp_window(p, h, w, &y0, &x0, &ch, &cw);
+        // shift into region coordinates; the region includes a 1-px margin
+        // around every tap the bilinear filter can touch, so the shifted
+        // window stays in-bounds
+        crop_resize_bilinear(src, sh, sw, oc, y0 - oy, x0 - ox, ch, cw,
+                             p[4] != 0.f,
                              out + (size_t(i) * views + v) * vstride, vh, vw);
       }
     }

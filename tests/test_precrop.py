@@ -112,6 +112,48 @@ class TestCppOracleParity:
         assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
         ns.close()
 
+    @pytest.mark.parametrize("c", [1, 3])
+    def test_windowed_jpeg_decode_matches_full_decode(self, tmp_path, c):
+        """JPEG records take the partial-decode path (jpeg_crop_scanline +
+        jpeg_skip_scanlines on the windows' union bbox). Pin it against the
+        full libjpeg decode (NativeStore.fetch at native size) + the numpy
+        crop oracle: grayscale must match exactly (no chroma upsampling);
+        RGB 4:2:0 may differ by 1 LSB at the iMCU skip boundary."""
+        _native_or_skip()
+        from medical_image_segmentation_tpu.data.store import CODEC_JPEG
+        from medical_image_segmentation_tpu.data.store.native import NativeStore
+
+        rng = np.random.default_rng(7)
+        h, w, n = 48, 56, 5
+        # smooth gradients: JPEG-friendly so full-decode output is stable
+        yy, xx = np.mgrid[0:h, 0:w]
+        imgs = np.stack([
+            np.clip(127 + 60 * np.sin(xx / 7 + i) + 50 * np.cos(yy / 9 - i)
+                    + rng.normal(0, 2, (h, w)), 0, 255).astype(np.uint8)
+            for i in range(n)
+        ])[..., None]
+        imgs = np.repeat(imgs, c, axis=-1)
+        p = tmp_path / "s.mis"
+        with StoreWriter(str(p), channels=c) as wtr:
+            for i in range(n):
+                wtr.add(imgs[i], label=i, codec=CODEC_JPEG, quality=95)
+        ns = NativeStore(str(p))
+        idxs = np.arange(n, dtype=np.int64)
+        full, _ = ns.fetch(idxs, out_hw=(h, w))  # full libjpeg decode, no resize
+        params = make_view_params(11, 0, 0, n, h, w, n_views=2)
+        got, _ = ns.fetch_views(idxs, params, (20, 20), num_threads=2)
+        ns.close()
+        worst = 0
+        for i in range(n):
+            for v in range(2):
+                y0, x0, ch, cw, flip = params[i, v]
+                want = crop_resize_bilinear_np(
+                    full[i], float(y0), float(x0), float(ch), float(cw),
+                    bool(flip), 20, 20)
+                worst = max(worst, int(np.abs(
+                    got[i * 2 + v].astype(int) - want.astype(int)).max()))
+        assert worst <= (0 if c == 1 else 1), f"windowed JPEG decode drifted: {worst}"
+
     def test_degenerate_windows_clamped(self, tmp_path):
         _native_or_skip()
         from medical_image_segmentation_tpu.data.store.native import NativeStore
