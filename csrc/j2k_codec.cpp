@@ -457,22 +457,67 @@ static const SCEntry kSC[3][3] = {
     {{11, 0}, {12, 0}, {13, 0}},
 };
 
+// Per-cell neighbor-flags word on the (h+2)x(w+2) padded grid. Low 8 bits
+// mirror the significance of the 8 neighbors (maintained incrementally when
+// a sample becomes significant), bits 8-11 the signs of the 4 H/V neighbors,
+// and the high bits the cell's own state. Context formation then reads one
+// word + a LUT instead of 8 scattered neighbor loads per sample (the contexts
+// produced are identical to the direct Table D.1/D.3 evaluation — the LUTs
+// below are built from the same kZC/kSC tables).
+enum : uint32_t {
+  F_SIG_W = 1u << 0, F_SIG_E = 1u << 1, F_SIG_N = 1u << 2, F_SIG_S = 1u << 3,
+  F_SIG_NW = 1u << 4, F_SIG_NE = 1u << 5, F_SIG_SW = 1u << 6, F_SIG_SE = 1u << 7,
+  F_SGN_W = 1u << 8, F_SGN_E = 1u << 9, F_SGN_N = 1u << 10, F_SGN_S = 1u << 11,
+  F_SIG = 1u << 12, F_VISIT = 1u << 13, F_REFINED = 1u << 14, F_SGN = 1u << 15,
+};
+
+// zero-coding context by neighbor-significance byte (from kZC)
+struct ZC2Lut {
+  uint8_t t[3][256];
+  ZC2Lut() {
+    for (int fam = 0; fam < 3; ++fam)
+      for (int b = 0; b < 256; ++b) {
+        int hh = ((b >> 0) & 1) + ((b >> 1) & 1);
+        int vv = ((b >> 2) & 1) + ((b >> 3) & 1);
+        int dd = ((b >> 4) & 1) + ((b >> 5) & 1) + ((b >> 6) & 1) + ((b >> 7) & 1);
+        t[fam][b] = uint8_t(
+            kZC.t[fam][std::min(hh, 2)][std::min(vv, 2)][std::min(dd, 4)]);
+      }
+  }
+};
+static const ZC2Lut kZC2;
+
+// sign-coding context by (H/V neighbor significance nibble | sign nibble<<4)
+struct SC2Lut {
+  SCEntry t[256];
+  SC2Lut() {
+    for (int b = 0; b < 256; ++b) {
+      auto contrib = [&](int sigbit, int sgnbit) {
+        if (!((b >> sigbit) & 1)) return 0;
+        return ((b >> sgnbit) & 1) ? -1 : 1;
+      };
+      int hc = contrib(0, 4) + contrib(1, 5);
+      int vc = contrib(2, 6) + contrib(3, 7);
+      hc = hc < -1 ? -1 : (hc > 1 ? 1 : hc);
+      vc = vc < -1 ? -1 : (vc > 1 ? 1 : vc);
+      t[b] = kSC[hc + 1][vc + 1];
+    }
+  }
+};
+static const SC2Lut kSC2;
+
 struct T1Decoder {
-  int w, h, family;
-  std::vector<uint8_t> sig;   // (h+2)x(w+2) padded
-  std::vector<int8_t> sgn;    // (h+2)x(w+2)
-  std::vector<uint8_t> refined, visited;  // h*w
-  std::vector<int64_t> mag;   // h*w
-  std::vector<int16_t> last;  // h*w — plane of last decoded bit
+  int w, h, family, stride;
+  std::vector<uint32_t> flags;  // (h+2)x(w+2) padded
+  std::vector<int64_t> mag;     // h*w
+  std::vector<int16_t> last;    // h*w — plane of last decoded bit
   Ctx ctx[kNCtx];
 
-  T1Decoder(int w_, int h_, int fam) : w(w_), h(h_), family(fam) {
-    sig.assign((h + 2) * (w + 2), 0);
-    sgn.assign((h + 2) * (w + 2), 0);
-    refined.assign(h * w, 0);
-    visited.assign(h * w, 0);
-    mag.assign(h * w, 0);
-    last.assign(h * w, 0);
+  T1Decoder(int w_, int h_, int fam)
+      : w(w_), h(h_), family(fam), stride(w_ + 2) {
+    flags.assign(size_t(h + 2) * stride, 0);
+    mag.assign(size_t(h) * w, 0);
+    last.assign(size_t(h) * w, 0);
     // Table D.7 initial states: all (0,0) except ZC ctx 0 → 4, RL → 3, UNI → 46
     for (int i = 0; i < kNCtx; ++i) ctx[i] = {0, 0};
     ctx[0] = {4, 0};
@@ -480,59 +525,46 @@ struct T1Decoder {
     ctx[kCtxUni] = {46, 0};
   }
 
-  inline int S(int x, int y) const { return sig[(y + 1) * (w + 2) + (x + 1)]; }
-  inline int G(int x, int y) const { return sgn[(y + 1) * (w + 2) + (x + 1)]; }
-
-  inline void neighborhood(int x, int y, int* hh, int* vv, int* dd) const {
-    *hh = S(x - 1, y) + S(x + 1, y);
-    *vv = S(x, y - 1) + S(x, y + 1);
-    *dd = S(x - 1, y - 1) + S(x + 1, y - 1) + S(x - 1, y + 1) + S(x + 1, y + 1);
+  inline uint32_t& F(int x, int y) {
+    return flags[size_t(y + 1) * stride + (x + 1)];
   }
-
-  inline int zc_ctx(int x, int y) const {
-    int hh, vv, dd;
-    neighborhood(x, y, &hh, &vv, &dd);
-    return kZC.t[family][std::min(hh, 2)][std::min(vv, 2)][std::min(dd, 4)];
+  inline uint32_t F(int x, int y) const {
+    return flags[size_t(y + 1) * stride + (x + 1)];
   }
-
-  inline void sign_ctx(int x, int y, int* cx, int* xr) const {
-    int hc = S(x - 1, y) * G(x - 1, y) + S(x + 1, y) * G(x + 1, y);
-    int vc = S(x, y - 1) * G(x, y - 1) + S(x, y + 1) * G(x, y + 1);
-    hc = hc < -1 ? -1 : (hc > 1 ? 1 : hc);
-    vc = vc < -1 ? -1 : (vc > 1 ? 1 : vc);
-    const SCEntry& e = kSC[hc + 1][vc + 1];
-    *cx = e.cx;
-    *xr = e.xr;
-  }
-
-  inline int mr_ctx(int x, int y) const {
-    if (refined[y * w + x]) return 16;
-    int hh, vv, dd;
-    neighborhood(x, y, &hh, &vv, &dd);
-    return (hh + vv + dd) > 0 ? 15 : 14;
+  inline int S(int x, int y) const { return (F(x, y) & F_SIG) ? 1 : 0; }
+  inline int G(int x, int y) const {
+    uint32_t f = F(x, y);
+    return (f & F_SIG) ? ((f & F_SGN) ? -1 : 1) : 0;
   }
 
   inline void become_significant(MQDecoder& mq, int x, int y, int plane) {
-    int cx, xr;
-    sign_ctx(x, y, &cx, &xr);
-    int bit = mq.decode(ctx[cx]);
-    int s = (bit ^ xr) ? -1 : 1;
-    sig[(y + 1) * (w + 2) + (x + 1)] = 1;
-    sgn[(y + 1) * (w + 2) + (x + 1)] = int8_t(s);
-    mag[y * w + x] = int64_t(1) << plane;
-    last[y * w + x] = int16_t(plane);
+    uint32_t* p = &F(x, y);
+    const SCEntry& e = kSC2.t[(*p & 0xF) | ((*p >> 4) & 0xF0)];
+    int bit = mq.decode(ctx[e.cx]);
+    uint32_t neg = uint32_t(bit ^ e.xr);
+    *p |= F_SIG | (neg << 15);
+    // mirror into the 8 neighbors' words (sign only for the H/V four)
+    p[-1] |= F_SIG_E | (neg << 9);
+    p[1] |= F_SIG_W | (neg << 8);
+    p[-stride] |= F_SIG_S | (neg << 11);
+    p[stride] |= F_SIG_N | (neg << 10);
+    p[-stride - 1] |= F_SIG_SE;
+    p[-stride + 1] |= F_SIG_SW;
+    p[stride - 1] |= F_SIG_NE;
+    p[stride + 1] |= F_SIG_NW;
+    mag[size_t(y) * w + x] = int64_t(1) << plane;
+    last[size_t(y) * w + x] = int16_t(plane);
   }
 
   void sig_pass(MQDecoder& mq, int plane) {
     for (int y0 = 0; y0 < h; y0 += 4)
       for (int x = 0; x < w; ++x)
         for (int y = y0; y < std::min(y0 + 4, h); ++y) {
-          if (S(x, y)) continue;
-          int hh, vv, dd;
-          neighborhood(x, y, &hh, &vv, &dd);
-          if (hh + vv + dd == 0) continue;
-          visited[y * w + x] = 1;
-          if (mq.decode(ctx[zc_ctx(x, y)])) become_significant(mq, x, y, plane);
+          uint32_t f = F(x, y);
+          if ((f & F_SIG) || !(f & 0xFF)) continue;
+          F(x, y) = f | F_VISIT;
+          if (mq.decode(ctx[kZC2.t[family][f & 0xFF]]))
+            become_significant(mq, x, y, plane);
         }
   }
 
@@ -540,11 +572,13 @@ struct T1Decoder {
     for (int y0 = 0; y0 < h; y0 += 4)
       for (int x = 0; x < w; ++x)
         for (int y = y0; y < std::min(y0 + 4, h); ++y) {
-          if (!S(x, y) || visited[y * w + x]) continue;
-          int bit = mq.decode(ctx[mr_ctx(x, y)]);
-          refined[y * w + x] = 1;
-          last[y * w + x] = int16_t(plane);
-          if (bit) mag[y * w + x] |= int64_t(1) << plane;
+          uint32_t f = F(x, y);
+          if (!(f & F_SIG) || (f & F_VISIT)) continue;
+          int cxi = (f & F_REFINED) ? 16 : ((f & 0xFF) ? 15 : 14);
+          int bit = mq.decode(ctx[cxi]);
+          F(x, y) = f | F_REFINED;
+          last[size_t(y) * w + x] = int16_t(plane);
+          if (bit) mag[size_t(y) * w + x] |= int64_t(1) << plane;
         }
   }
 
@@ -555,30 +589,27 @@ struct T1Decoder {
         bool full = (y0 + 4 <= h);
         bool rl = full;
         if (full) {
-          for (int yy = y0; yy < y0 + 4; ++yy) {
-            if (visited[yy * w + x] || S(x, yy)) { rl = false; break; }
-            int hh, vv, dd;
-            neighborhood(x, yy, &hh, &vv, &dd);
-            if (hh + vv + dd) { rl = false; break; }
-          }
+          for (int yy = y0; yy < y0 + 4; ++yy)
+            if (F(x, yy) & (F_VISIT | F_SIG | 0xFF)) { rl = false; break; }
         }
         if (rl) {
-          if (!mq.decode(ctx[kCtxRL])) {
-            for (int yy = y0; yy < y0 + 4; ++yy) visited[yy * w + x] = 0;
-            continue;
-          }
+          // the whole stripe column is insignificant with no visited samples,
+          // so declining the run-length leaves nothing to reset
+          if (!mq.decode(ctx[kCtxRL])) continue;
           int r = (mq.decode(ctx[kCtxUni]) << 1) | mq.decode(ctx[kCtxUni]);
           y = y0 + r;
           become_significant(mq, x, y, plane);
           ++y;
         }
         for (int yy = y; yy < std::min(y0 + 4, h); ++yy) {
-          if (visited[yy * w + x] || S(x, yy)) continue;
-          if (mq.decode(ctx[zc_ctx(x, yy)])) become_significant(mq, x, yy, plane);
+          uint32_t f = F(x, yy);
+          if (f & (F_VISIT | F_SIG)) continue;
+          if (mq.decode(ctx[kZC2.t[family][f & 0xFF]]))
+            become_significant(mq, x, yy, plane);
         }
       }
     }
-    std::fill(visited.begin(), visited.end(), 0);
+    for (auto& f : flags) f &= ~F_VISIT;
   }
 };
 
@@ -908,18 +939,21 @@ static std::vector<PacketRef> packet_order(std::vector<TileComp>& tcs,
 }
 
 // ---------------------------------------------------------------------------
-// inverse wavelet (Annex F). Works on strided lines so both passes share one
-// scalar 1-D synthesis (gather → transform → scatter).
+// inverse wavelet (Annex F). The 1-D synthesis (F.3.8) is applied per row for
+// the horizontal pass (gather into a caller-provided workspace — no per-line
+// allocation) and row-vectorized for the vertical pass (whole-row elementwise
+// lifting on an interleaved plane, so column synthesis runs at memory speed
+// instead of one strided gather per column).
 
-// 5/3 (F.3.8) on a signal spanning [i0, i1); low/high are gathered inputs
+// 5/3 (F.3.8) on a signal spanning [i0, i1); low/high are gathered inputs.
+// `y` is caller scratch with capacity >= n + 4.
 static void idwt53_line(const int64_t* low, const int64_t* high, int64_t i0,
-                        int64_t i1, int64_t* out) {
+                        int64_t i1, int64_t* out, int64_t* y) {
   int64_t n = i1 - i0;
   if (n == 1) {
     out[0] = (i0 % 2 == 0) ? low[0] : (high[0] >> 1);
     return;
   }
-  std::vector<int64_t> y(n + 4);
   const int64_t off = i0 - 2;
   int64_t ke = 0, ko = 0;
   for (int64_t i = i0; i < i1; ++i) {
@@ -938,14 +972,12 @@ static void idwt53_line(const int64_t* low, const int64_t* high, int64_t i0,
     for (int64_t i : pts) y[i - off] = y[ext(i) - off];
   };
   refresh();
-  for (int64_t i = i0; i < i1; ++i)
-    if (((i % 2) + 2) % 2 == 0)
-      y[i - off] -= (y[i - 1 - off] + y[i + 1 - off] + 2) >> 2;
+  for (int64_t i = i0 + (((i0 % 2) + 2) % 2); i < i1; i += 2)
+    y[i - off] -= (y[i - 1 - off] + y[i + 1 - off] + 2) >> 2;
   refresh();
-  for (int64_t i = i0; i < i1; ++i)
-    if (((i % 2) + 2) % 2 != 0)
-      y[i - off] += (y[i - 1 - off] + y[i + 1 - off]) >> 1;
-  for (int64_t i = i0; i < i1; ++i) out[i - i0] = y[i - off];
+  for (int64_t i = i0 + 1 - (((i0 % 2) + 2) % 2); i < i1; i += 2)
+    y[i - off] += (y[i - 1 - off] + y[i + 1 - off]) >> 1;
+  std::memcpy(out, y + (i0 - off), size_t(n) * sizeof(int64_t));
 }
 
 // 9/7 lifting constants (Table F.4)
@@ -953,14 +985,14 @@ constexpr double A97 = -1.586134342059924, B97 = -0.052980118572961,
                  G97 = 0.882911075530934, D97 = 0.443506852043971,
                  K97 = 1.230174104914001;
 
+// `y` is caller scratch with capacity >= n + 8.
 static void idwt97_line(const double* low, const double* high, int64_t i0,
-                        int64_t i1, double* out) {
+                        int64_t i1, double* out, double* y) {
   int64_t n = i1 - i0;
   if (n == 1) {
     out[0] = (i0 % 2 == 0) ? low[0] : high[0];
     return;
   }
-  std::vector<double> y(n + 8);
   const int64_t off = i0 - 4;
   int64_t ke = 0, ko = 0;
   for (int64_t i = i0; i < i1; ++i) {
@@ -980,23 +1012,21 @@ static void idwt97_line(const double* low, const double* high, int64_t i0,
   };
   // lifting steps preserve the whole-sample symmetry of the extended signal,
   // so the extension is re-mirrored between steps (matches the oracle)
+  const int64_t e0 = i0 + (((i0 % 2) + 2) % 2);      // first even index >= i0
+  const int64_t o0 = i0 + 1 - (((i0 % 2) + 2) % 2);  // first odd index >= i0
   refresh();
-  for (int64_t i = i0; i < i1; ++i)
-    if (((i % 2) + 2) % 2 == 0)
-      y[i - off] -= D97 * (y[i - 1 - off] + y[i + 1 - off]);
+  for (int64_t i = e0; i < i1; i += 2)
+    y[i - off] -= D97 * (y[i - 1 - off] + y[i + 1 - off]);
   refresh();
-  for (int64_t i = i0; i < i1; ++i)
-    if (((i % 2) + 2) % 2 != 0)
-      y[i - off] -= G97 * (y[i - 1 - off] + y[i + 1 - off]);
+  for (int64_t i = o0; i < i1; i += 2)
+    y[i - off] -= G97 * (y[i - 1 - off] + y[i + 1 - off]);
   refresh();
-  for (int64_t i = i0; i < i1; ++i)
-    if (((i % 2) + 2) % 2 == 0)
-      y[i - off] -= B97 * (y[i - 1 - off] + y[i + 1 - off]);
+  for (int64_t i = e0; i < i1; i += 2)
+    y[i - off] -= B97 * (y[i - 1 - off] + y[i + 1 - off]);
   refresh();
-  for (int64_t i = i0; i < i1; ++i)
-    if (((i % 2) + 2) % 2 != 0)
-      y[i - off] -= A97 * (y[i - 1 - off] + y[i + 1 - off]);
-  for (int64_t i = i0; i < i1; ++i) out[i - i0] = y[i - off];
+  for (int64_t i = o0; i < i1; i += 2)
+    y[i - off] -= A97 * (y[i - 1 - off] + y[i + 1 - off]);
+  std::memcpy(out, y + (i0 - off), size_t(n) * sizeof(double));
 }
 
 // a simple row-major matrix of doubles (used for both int64 values — exact
@@ -1010,10 +1040,139 @@ struct Mat {
   double at(int64_t y, int64_t x) const { return v[size_t(y * cols + x)]; }
 };
 
-// 2D inverse DWT: iteratively reconstruct from LL upward
-static Mat inverse_dwt(TileComp& tc, std::vector<std::vector<Mat>>& bands_data,
-                       bool reversible) {
-  Mat ll = std::move(bands_data[0][0]);
+// A rows×cols contiguous plane of the synthesis value type (int64 for the
+// reversible 5/3 path — exact; double for the irreversible 9/7 path).
+template <typename T>
+struct Plane {
+  int64_t rows = 0, cols = 0;
+  std::vector<T> v;
+  Plane() {}
+  Plane(int64_t r, int64_t c) : rows(r), cols(c), v(size_t(r * c), T(0)) {}
+  T* row(int64_t y) { return v.data() + size_t(y) * size_t(cols); }
+  const T* row(int64_t y) const { return v.data() + size_t(y) * size_t(cols); }
+};
+
+// Mirror-extension index for a signal spanning [i0, i0+n) (n >= 2): returns
+// the in-range index an out-of-range i reflects to (period 2(n-1)).
+static inline int64_t ext_index(int64_t i, int64_t i0, int64_t n) {
+  int64_t per = 2 * (n - 1);
+  int64_t j = (i - i0) % per;
+  if (j < 0) j += per;
+  if (j >= n) j = per - j;
+  return i0 + j;
+}
+
+// Vertical (column) synthesis, executed row-wise: rows of `out` are whole-row
+// elementwise lifting steps over an interleaved margin plane. Math identical
+// to calling idwt{53,97}_line once per column.
+static void v53_plane(const Plane<int64_t>& top, const Plane<int64_t>& bot,
+                      int64_t i0, int64_t i1, Plane<int64_t>& out) {
+  const int64_t n = i1 - i0, w = out.cols;
+  if (n == 1) {
+    if (i0 % 2 == 0) {
+      std::memcpy(out.row(0), top.row(0), size_t(w) * sizeof(int64_t));
+    } else {
+      const int64_t* s = bot.row(0);
+      int64_t* d = out.row(0);
+      for (int64_t x = 0; x < w; ++x) d[x] = s[x] >> 1;
+    }
+    return;
+  }
+  Plane<int64_t> y(n + 4, w);  // rows i0-2 .. i1+1
+  const int64_t off = i0 - 2;
+  int64_t ke = 0, ko = 0;
+  for (int64_t i = i0; i < i1; ++i)
+    std::memcpy(y.row(i - off),
+                (((i % 2) + 2) % 2 == 0) ? top.row(ke++) : bot.row(ko++),
+                size_t(w) * sizeof(int64_t));
+  auto refresh = [&]() {
+    const int64_t pts[4] = {i0 - 2, i0 - 1, i1, i1 + 1};
+    for (int64_t i : pts)
+      std::memcpy(y.row(i - off), y.row(ext_index(i, i0, n) - off),
+                  size_t(w) * sizeof(int64_t));
+  };
+  const int64_t e0 = i0 + (((i0 % 2) + 2) % 2);
+  const int64_t o0 = i0 + 1 - (((i0 % 2) + 2) % 2);
+  refresh();
+  for (int64_t i = e0; i < i1; i += 2) {
+    int64_t* c = y.row(i - off);
+    const int64_t* a = y.row(i - 1 - off);
+    const int64_t* b = y.row(i + 1 - off);
+    for (int64_t x = 0; x < w; ++x) c[x] -= (a[x] + b[x] + 2) >> 2;
+  }
+  refresh();
+  for (int64_t i = o0; i < i1; i += 2) {
+    int64_t* c = y.row(i - off);
+    const int64_t* a = y.row(i - 1 - off);
+    const int64_t* b = y.row(i + 1 - off);
+    for (int64_t x = 0; x < w; ++x) c[x] += (a[x] + b[x]) >> 1;
+  }
+  for (int64_t i = i0; i < i1; ++i)
+    std::memcpy(out.row(i - i0), y.row(i - off), size_t(w) * sizeof(int64_t));
+}
+
+static void v97_plane(const Plane<double>& top, const Plane<double>& bot,
+                      int64_t i0, int64_t i1, Plane<double>& out) {
+  const int64_t n = i1 - i0, w = out.cols;
+  if (n == 1) {
+    std::memcpy(out.row(0), (i0 % 2 == 0) ? top.row(0) : bot.row(0),
+                size_t(w) * sizeof(double));
+    return;
+  }
+  Plane<double> y(n + 8, w);  // rows i0-4 .. i1+3
+  const int64_t off = i0 - 4;
+  int64_t ke = 0, ko = 0;
+  for (int64_t i = i0; i < i1; ++i) {
+    double* d = y.row(i - off);
+    if ((((i % 2) + 2) % 2) == 0) {
+      const double* s = top.row(ke++);
+      for (int64_t x = 0; x < w; ++x) d[x] = s[x] * K97;
+    } else {
+      const double* s = bot.row(ko++);
+      for (int64_t x = 0; x < w; ++x) d[x] = s[x] / K97;
+    }
+  }
+  auto refresh = [&]() {
+    for (int64_t i = i0 - 4; i < i0; ++i)
+      std::memcpy(y.row(i - off), y.row(ext_index(i, i0, n) - off),
+                  size_t(w) * sizeof(double));
+    for (int64_t i = i1; i < i1 + 4; ++i)
+      std::memcpy(y.row(i - off), y.row(ext_index(i, i0, n) - off),
+                  size_t(w) * sizeof(double));
+  };
+  const int64_t e0 = i0 + (((i0 % 2) + 2) % 2);
+  const int64_t o0 = i0 + 1 - (((i0 % 2) + 2) % 2);
+  auto step = [&](int64_t s0, double k) {
+    for (int64_t i = s0; i < i1; i += 2) {
+      double* c = y.row(i - off);
+      const double* a = y.row(i - 1 - off);
+      const double* b = y.row(i + 1 - off);
+      for (int64_t x = 0; x < w; ++x) c[x] -= k * (a[x] + b[x]);
+    }
+  };
+  refresh();
+  step(e0, D97);
+  refresh();
+  step(o0, G97);
+  refresh();
+  step(e0, B97);
+  refresh();
+  step(o0, A97);
+  for (int64_t i = i0; i < i1; ++i)
+    std::memcpy(out.row(i - i0), y.row(i - off), size_t(w) * sizeof(double));
+}
+
+// 2D inverse DWT: iteratively reconstruct from LL upward. Band data arrives
+// as double Mats (exact for the reversible path — values fit 2^53); synthesis
+// runs on typed planes and converts back to a Mat once at the end.
+template <typename T>
+static Mat inverse_dwt_t(TileComp& tc,
+                         std::vector<std::vector<Mat>>& bands_data) {
+  constexpr bool reversible = std::is_same<T, int64_t>::value;
+  Plane<T> ll(bands_data[0][0].rows, bands_data[0][0].cols);
+  for (size_t i = 0; i < bands_data[0][0].v.size(); ++i)
+    ll.v[i] = T(bands_data[0][0].v[i]);
+  std::vector<T> lbuf, hbuf, obuf, ybuf;
   for (size_t r = 1; r < tc.resolutions.size(); ++r) {
     auto& res = tc.resolutions[r];
     Mat& hl = bands_data[r][0];
@@ -1023,57 +1182,44 @@ static Mat inverse_dwt(TileComp& tc, std::vector<std::vector<Mat>>& bands_data,
     int64_t w = x1 - x0, h = y1 - y0;
     if (w <= 0 || h <= 0) continue;
     // horizontal pass: rows of (LL|HL) → top, (LH|HH) → bot
-    Mat top(ll.rows, w), bot(lh.rows, w);
-    std::vector<int64_t> li64(std::max(ll.cols, lh.cols) + 1),
-        hi64(std::max(hl.cols, hh.cols) + 1), oi64(w);
-    std::vector<double> lf(std::max(ll.cols, lh.cols) + 1),
-        hf(std::max(hl.cols, hh.cols) + 1), of(w);
+    Plane<T> top(ll.rows, w), bot(lh.rows, w);
+    lbuf.resize(size_t(std::max(ll.cols, lh.cols) + 1));
+    hbuf.resize(size_t(std::max(hl.cols, hh.cols) + 1));
+    obuf.resize(size_t(w));
+    ybuf.resize(size_t(w) + 8);
     for (int64_t y = 0; y < ll.rows; ++y) {
-      if (reversible) {
-        for (int64_t i = 0; i < ll.cols; ++i) li64[i] = int64_t(ll.at(y, i));
-        for (int64_t i = 0; i < hl.cols; ++i) hi64[i] = int64_t(hl.at(y, i));
-        idwt53_line(li64.data(), hi64.data(), x0, x1, oi64.data());
-        for (int64_t i = 0; i < w; ++i) top.at(y, i) = double(oi64[i]);
-      } else {
-        for (int64_t i = 0; i < ll.cols; ++i) lf[i] = ll.at(y, i);
-        for (int64_t i = 0; i < hl.cols; ++i) hf[i] = hl.at(y, i);
-        idwt97_line(lf.data(), hf.data(), x0, x1, of.data());
-        for (int64_t i = 0; i < w; ++i) top.at(y, i) = of[i];
-      }
+      std::memcpy(lbuf.data(), ll.row(y), size_t(ll.cols) * sizeof(T));
+      for (int64_t i = 0; i < hl.cols; ++i) hbuf[i] = T(hl.at(y, i));
+      if constexpr (reversible)
+        idwt53_line(lbuf.data(), hbuf.data(), x0, x1, top.row(y), ybuf.data());
+      else
+        idwt97_line(lbuf.data(), hbuf.data(), x0, x1, top.row(y), ybuf.data());
     }
     for (int64_t y = 0; y < lh.rows; ++y) {
-      if (reversible) {
-        for (int64_t i = 0; i < lh.cols; ++i) li64[i] = int64_t(lh.at(y, i));
-        for (int64_t i = 0; i < hh.cols; ++i) hi64[i] = int64_t(hh.at(y, i));
-        idwt53_line(li64.data(), hi64.data(), x0, x1, oi64.data());
-        for (int64_t i = 0; i < w; ++i) bot.at(y, i) = double(oi64[i]);
-      } else {
-        for (int64_t i = 0; i < lh.cols; ++i) lf[i] = lh.at(y, i);
-        for (int64_t i = 0; i < hh.cols; ++i) hf[i] = hh.at(y, i);
-        idwt97_line(lf.data(), hf.data(), x0, x1, of.data());
-        for (int64_t i = 0; i < w; ++i) bot.at(y, i) = of[i];
-      }
+      for (int64_t i = 0; i < lh.cols; ++i) lbuf[i] = T(lh.at(y, i));
+      for (int64_t i = 0; i < hh.cols; ++i) hbuf[i] = T(hh.at(y, i));
+      if constexpr (reversible)
+        idwt53_line(lbuf.data(), hbuf.data(), x0, x1, bot.row(y), ybuf.data());
+      else
+        idwt97_line(lbuf.data(), hbuf.data(), x0, x1, bot.row(y), ybuf.data());
     }
-    // vertical pass: columns of (top|bot)
-    Mat nll(h, w);
-    std::vector<int64_t> cl64(top.rows + 1), ch64(bot.rows + 1), co64(h);
-    std::vector<double> clf(top.rows + 1), chf(bot.rows + 1), cof(h);
-    for (int64_t x = 0; x < w; ++x) {
-      if (reversible) {
-        for (int64_t i = 0; i < top.rows; ++i) cl64[i] = int64_t(top.at(i, x));
-        for (int64_t i = 0; i < bot.rows; ++i) ch64[i] = int64_t(bot.at(i, x));
-        idwt53_line(cl64.data(), ch64.data(), y0, y1, co64.data());
-        for (int64_t i = 0; i < h; ++i) nll.at(i, x) = double(co64[i]);
-      } else {
-        for (int64_t i = 0; i < top.rows; ++i) clf[i] = top.at(i, x);
-        for (int64_t i = 0; i < bot.rows; ++i) chf[i] = bot.at(i, x);
-        idwt97_line(clf.data(), chf.data(), y0, y1, cof.data());
-        for (int64_t i = 0; i < h; ++i) nll.at(i, x) = cof[i];
-      }
-    }
+    // vertical pass: columns of (top|bot), executed row-wise
+    Plane<T> nll(h, w);
+    if constexpr (reversible)
+      v53_plane(top, bot, y0, y1, nll);
+    else
+      v97_plane(top, bot, y0, y1, nll);
     ll = std::move(nll);
   }
-  return ll;
+  Mat out(ll.rows, ll.cols);
+  for (size_t i = 0; i < ll.v.size(); ++i) out.v[i] = double(ll.v[i]);
+  return out;
+}
+
+static Mat inverse_dwt(TileComp& tc, std::vector<std::vector<Mat>>& bands_data,
+                       bool reversible) {
+  return reversible ? inverse_dwt_t<int64_t>(tc, bands_data)
+                    : inverse_dwt_t<double>(tc, bands_data);
 }
 
 // ---------------------------------------------------------------------------
