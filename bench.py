@@ -240,8 +240,11 @@ def main():
         "mfu": mfu,
     }
     if mode == "store":
-        out["loader_gbytes_per_sec"] = round(
-            imgs_per_sec * args.image_size * args.image_size / 1e9, 3)
+        # bytes the loader actually ships per image: 2 crop² views in
+        # precrop mode (windowed decode reads even less), full frames else
+        shipped = (2 * args.crop_size * args.crop_size if args.precrop
+                   else args.image_size * args.image_size)
+        out["loader_gbytes_per_sec"] = round(imgs_per_sec * shipped / 1e9, 3)
         # machine-checkable bottleneck attribution (VERDICT r2 weak #1):
         # the per-stage split must be in the JSON line, not just stderr
         out["num_decode_threads"] = args.num_threads or (os.cpu_count() or 4)

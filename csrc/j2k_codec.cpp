@@ -133,6 +133,10 @@ struct Cod {
     progression = o.progression;
     layers = o.layers;
     mct = o.mct;
+    // Scoc carries only the precinct flag (T.800 A.6.2); SOP/EPH come from
+    // the main COD's Scod and apply to all components' packets.
+    sop = o.sop;
+    eph = o.eph;
   }
 };
 

@@ -18,13 +18,17 @@ encoding rules:
   caller (parity: pydicom also does not invert);
 - **compressed pixel data** (encapsulated PS3.5 §A.4: basic offset table +
   fragments) for RLE Lossless (1.2.840.10008.1.2.5), JPEG Baseline
-  (.4.50) and JPEG Lossless (.4.57/.4.70) via `data/dicom_codecs.py`
-  (C++ fast path + Python reference). Header-only scans work for EVERY
-  transfer syntax. Still-unsupported codecs (J2K, JPEG-LS, deflated) fall
-  back to pydicom when it is installed, else raise
-  ``UnsupportedTransferSyntax`` — a per-file error status in the ingest
-  tools rather than a crash (matching the reference's per-file fault
-  tolerance, `create_subset.py:197-241`).
+  (.4.50), JPEG Lossless (.4.57/.4.70) via `data/dicom_codecs.py`,
+  JPEG-LS (.4.80/.4.81) via `data/jpegls.py`, and JPEG 2000 (.4.90/.4.91)
+  via `data/jpeg2000.py` — each with a C++ fast path and a pure-Python
+  reference decoder;
+- **deflated explicit VR LE** (1.2.840.10008.1.2.1.99, PS3.5 A.5):
+  whole-stream raw-deflate inflation before dataset parsing.
+  Header-only scans work for EVERY transfer syntax. Still-unsupported
+  codecs (JPEG extended 12-bit, MPEG, HTJ2K) fall back to pydicom when it
+  is installed, else raise ``UnsupportedTransferSyntax`` — a per-file error
+  status in the ingest tools rather than a crash (matching the reference's
+  per-file fault tolerance, `create_subset.py:197-241`).
 """
 
 from __future__ import annotations
@@ -180,19 +184,33 @@ class DicomFile:
             import pydicom
         except ImportError:
             return None
+        # Classify by CAPABILITY, not by exception message: probe whether
+        # pydicom has an available handler for this syntax first. If it
+        # does, any failure below is a real decode error and must surface
+        # as DicomError so per-file ingest statuses record the true cause;
+        # if it doesn't, the caller raises UnsupportedTransferSyntax.
+        # (Message matching misclassified decode errors that merely
+        # mentioned "handler"/"plugin" in their text.)
+        can_decode = True
+        try:
+            from pydicom.uid import UID
+
+            uid = UID(self.transfer_syntax)
+            handlers = getattr(pydicom.config, "pixel_data_handlers", None)
+            if handlers is not None:
+                can_decode = any(
+                    h.is_available() and h.supports_transfer_syntax(uid)
+                    for h in handlers
+                )
+        except Exception:
+            pass  # introspection API drift: attempt the decode anyway
+        if not can_decode:
+            return None
         try:
             return pydicom.dcmread(self.source_path).pixel_array
+        except (ImportError, NotImplementedError):
+            return None  # handler advertised support but can't run here
         except Exception as e:
-            # "no handler/plugin for this syntax" → genuinely unsupported →
-            # let the caller raise UnsupportedTransferSyntax. Anything else
-            # (truncated stream, codec error) is a real decode failure and
-            # must surface as DicomError so per-file ingest statuses record
-            # the true cause instead of mislabeling it as unsupported.
-            msg = str(e).lower()
-            if isinstance(e, (ImportError, NotImplementedError)) or (
-                "handler" in msg or "plugin" in msg or "install" in msg
-            ):
-                return None
             raise DicomError(f"pydicom fallback decode failed: {e}") from e
 
     @property
@@ -379,9 +397,22 @@ def read_dicom(
     ts = _parse_meta(f)
     if ts in ("", IMPLICIT_VR_LE):
         explicit = ts == ""  # bare datasets here are written explicit by us; sniff below
-    elif ts in (EXPLICIT_VR_BE, DEFLATED_VR_LE):
-        # big-endian retired; deflated needs whole-stream inflation — neither
-        # appears in TCIA archives, header scans included
+    elif ts == DEFLATED_VR_LE:
+        # PS3.5 A.5: everything after the meta group is one raw-deflate
+        # stream of an explicit-VR-LE dataset. Whole-stream inflation (the
+        # same strategy pydicom uses); header scans pay it too, but deflated
+        # files are rare and small in practice.
+        import io as _io
+        import zlib
+
+        try:
+            inflated = zlib.decompress(f.read(), -15)
+        except zlib.error as e:
+            raise DicomError(f"deflated dataset inflate failed: {e}") from e
+        f = _io.BytesIO(inflated)
+        explicit = True
+    elif ts == EXPLICIT_VR_BE:
+        # big-endian retired (PS3.5 2016b); absent from TCIA archives
         raise UnsupportedTransferSyntax(ts)
     else:
         # explicit LE and ALL encapsulated syntaxes (1.2.840.10008.1.2.4.*/.5)
@@ -462,8 +493,10 @@ def write_dicom(
     ``pixels``: (rows, cols) or (frames, rows, cols) of uint8/uint16/int16.
     ``extra_elements``: {(group, elem): (vr, raw_bytes)} appended in order.
     ``transfer_syntax``: uncompressed LE by default; RLE_LOSSLESS,
-    JPEG_LOSSLESS(_SV1) and JPEG_BASELINE produce encapsulated compressed
-    pixel data (fixture/tooling path for the compressed-ingest support).
+    JPEG_LOSSLESS(_SV1), JPEG_LS(_NEAR)_LOSSLESS, JPEG_2000(_LOSSLESS) and
+    JPEG_BASELINE produce encapsulated compressed pixel data;
+    DEFLATED_VR_LE writes the dataset as one raw-deflate stream (PS3.5 A.5).
+    Fixture/tooling path for the compressed-ingest support.
     """
     pixels = np.asarray(pixels)
     frames = 1
@@ -557,6 +590,16 @@ def write_dicom(
     else:
         pix_vr = b"OB" if bits == 8 else b"OW"
         body += _enc_element(0x7FE0, 0x0010, pix_vr, pixels.tobytes(), explicit)
+
+    if ts == DEFLATED_VR_LE:
+        # PS3.5 A.5: meta group stays uncompressed; the dataset is one raw
+        # deflate stream (explicit VR LE encoding)
+        import zlib
+
+        if not explicit:
+            raise DicomError("deflated transfer syntax requires explicit VR")
+        co = zlib.compressobj(9, zlib.DEFLATED, -15)
+        body = co.compress(body) + co.flush()
 
     with open(path, "wb") as f:
         f.write(b"\x00" * 128 + b"DICM" + meta + body)

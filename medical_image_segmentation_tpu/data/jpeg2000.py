@@ -131,10 +131,17 @@ class _Cod:
             self.ppy = [15] * (self.levels + 1)
 
     def clone_with_sg(self, other: "_Cod") -> "_Cod":
-        """COC carries no SGcod — inherit progression/layers/mct."""
+        """COC carries no SGcod — inherit progression/layers/mct.
+
+        Scoc carries only the precinct flag (T.800 A.6.2); SOP/EPH are
+        tile-level properties of the main COD's Scod and apply to every
+        component's packets, so inherit them too.
+        """
         self.progression = other.progression
         self.layers = other.layers
         self.mct = other.mct
+        self.sop = other.sop
+        self.eph = other.eph
         return self
 
 
@@ -330,7 +337,6 @@ class _MQDecoder:
         self.data = data
         self.bp = 0
         self.c = (self._b(0) << 16)
-        self._bytein_init = True
         self.bytein()
         self.c <<= 7
         self.ct -= 7
@@ -806,7 +812,7 @@ class _TileComp:
 
 
 def _read_packet(data: bytes, pos: int, tc: _TileComp, res: _Resolution,
-                 precinct: int, layer: int, cod: _Cod, guard: int) -> int:
+                 precinct: int, layer: int, cod: _Cod) -> int:
     """Decode one packet (header + body) at ``pos``; returns new pos."""
     if cod.sop:
         # optional SOP marker segment (6 bytes)
@@ -931,7 +937,7 @@ def _packet_order(tile_comps: List[_TileComp], cod: _Cod):
         pos_list = precinct_positions()
         if prog == 2:  # RPCL
             keys = sorted(pos_list, key=lambda t: (t[3], t[0], t[1], t[2]))
-            for _, _, c, r, p in [(y, x, c, r, p) for (y, x, c, r, p) in keys]:
+            for _, _, c, r, p in keys:
                 for l in range(layers):
                     yield c, r, p, l
             return
@@ -1270,8 +1276,7 @@ def j2k_decode_py(data: bytes) -> np.ndarray:
                 continue
             if dpos >= len(data_t):
                 break  # truncated stream: decode what we have
-            dpos = _read_packet(data_t, dpos, tc, res, pidx, layer, tc.cod,
-                                base_qcd.guard)
+            dpos = _read_packet(data_t, dpos, tc, res, pidx, layer, tc.cod)
 
         # decode code-blocks, dequantize, inverse DWT
         comps = []
@@ -1289,10 +1294,7 @@ def j2k_decode_py(data: bytes) -> np.ndarray:
                     # Mb: number of magnitude bit-planes (E.1)
                     rbit = siz.prec[c] + (1 if band.btype in ("HL", "LH") else
                                           2 if band.btype == "HH" else 0)
-                    if reversible:
-                        mb = band.exp + guard - 1
-                    else:
-                        mb = band.exp + guard - 1
+                    mb = band.exp + guard - 1
                     for pidx2, blocks in enumerate(band.cblocks):
                         for cb in blocks:
                             if not cb.included or cb.npasses == 0:

@@ -32,10 +32,16 @@ RANDOM = "random"
 QUASI_RANDOM = "quasi_random"
 
 
-def prefetch_iter(make_items, prefetch: int):
+def prefetch_iter(make_items, prefetch: int, registry: Optional[set] = None):
     """Run ``make_items()`` (a generator) on a background thread with a
     bounded queue. Exceptions propagate to the consumer; abandoning the
-    iterator early unblocks and stops the producer (no leaked threads)."""
+    iterator early unblocks, stops, AND JOINS the producer — an in-flight
+    fetch may hold views into a store that the owner closes (munmap) right
+    after dropping the iterator, so the producer must be fully finished
+    before control returns. ``registry`` (a set owned by the Loader) gets a
+    ``(stop_event, thread)`` handle for the producer's lifetime so
+    ``Loader.close()`` can stop+join producers whose abandoned generators
+    have not been finalized yet (non-refcounting interpreters)."""
     if prefetch <= 0:
         yield from make_items()
         return
@@ -72,6 +78,9 @@ def prefetch_iter(make_items, prefetch: int):
                     continue
 
     t = threading.Thread(target=producer, daemon=True)
+    handle = (stop, t)
+    if registry is not None:
+        registry.add(handle)
     t.start()
     try:
         while True:
@@ -89,6 +98,17 @@ def prefetch_iter(make_items, prefetch: int):
                 q.get_nowait()
             except queue.Empty:
                 break
+        # wait for an in-flight fetch to finish before the caller can munmap
+        # the store under it (put() polls stop every 0.25 s, so this is
+        # bounded by one fetch)
+        try:
+            t.join()
+        except (RuntimeError, TypeError):
+            pass  # generator finalized during interpreter shutdown:
+            # threading internals are already torn down and the process is
+            # exiting anyway — nothing left to protect
+        if registry is not None:
+            registry.discard(handle)
 
 
 def make_order(
@@ -162,6 +182,7 @@ class Loader:
         from medical_image_segmentation_tpu.core.profiling import StageTimers
 
         self.timers = StageTimers()
+        self._producers: set = set()  # live prefetch (stop, thread) handles
 
         self._native = None
         self._reader = None
@@ -281,9 +302,17 @@ class Loader:
                         batch = self._fetch(idxs)
                 yield batch
 
-        yield from prefetch_iter(gen, self.prefetch)
+        yield from prefetch_iter(gen, self.prefetch, registry=self._producers)
 
     def close(self):
+        # a consumer may abandon an iterator mid-epoch (e.g. the KNN bank cap
+        # breaks out of the loop) — stop and join any still-live producers
+        # before unmapping the store they decode from
+        for stop, _ in list(self._producers):
+            stop.set()
+        for _, t in list(self._producers):
+            t.join()
+        self._producers.clear()
         if self._native is not None:
             self._native.close()
         if self._reader is not None:
@@ -372,7 +401,9 @@ class PairedLoader:
             yield imgs, msks.astype(np.float32)
 
     def __iter__(self):
-        yield from prefetch_iter(self._pairs, self.prefetch)
+        # register on the image loader so close() joins our producer too
+        yield from prefetch_iter(self._pairs, self.prefetch,
+                                 registry=self._imgs._producers)
 
     def close(self):
         self._imgs.close()

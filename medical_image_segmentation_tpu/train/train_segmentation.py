@@ -131,15 +131,23 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         print(f"initialized encoder from {args.ssl_checkpoint}", file=sys.stderr)
 
     start_epoch = 0
+    skip_batches = 0
     if args.resume:
         step = latest_step(args.checkpoint_dir)
         if step is not None:
             state = restore_checkpoint(os.path.join(args.checkpoint_dir, str(step)), state)
             start_epoch = int(np.asarray(state.step)) // steps_per_epoch
+            # a preemption checkpoint can land mid-epoch: skip the batches
+            # state.step already counts, or the resumed run would retrain
+            # them and overshoot max_epochs*steps_per_epoch (exhausting the
+            # LR schedule early). Data order is deterministic per
+            # (seed, epoch), so the skipped prefix is what was trained.
+            skip_batches = int(np.asarray(state.step)) % steps_per_epoch
             # continue the data order instead of replaying epoch 0's permutation
             train_loader.epoch = start_epoch
-            print(f"resumed from step {int(np.asarray(state.step))} (epoch {start_epoch})",
-                  file=sys.stderr)
+            print(f"resumed from step {int(np.asarray(state.step))} (epoch {start_epoch}"
+                  + (f", skipping {skip_batches} trained batches" if skip_batches else "")
+                  + ")", file=sys.stderr)
 
     state = jax.device_put(state, replicated(mesh))
     mean, std = tuple(dm.mean), tuple(dm.std)
@@ -210,6 +218,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             for i, (imgs, msks) in enumerate(train_loader):
                 if args.limit_steps_per_epoch and i >= args.limit_steps_per_epoch:
                     break
+                if epoch == start_epoch and i < skip_batches:
+                    continue  # already trained before the preemption
                 key = jax.random.fold_in(key, 1)
                 b = shard_batch(mesh, {"i": imgs, "m": msks})
                 state, metrics = train_step(state, b["i"], b["m"], key)

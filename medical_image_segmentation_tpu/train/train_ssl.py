@@ -225,15 +225,24 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         return 0
 
     start_epoch = 0
+    skip_batches = 0
     if args.resume:
         step = latest_step(args.checkpoint_dir)
         if step is not None:
             state = restore_checkpoint(os.path.join(args.checkpoint_dir, str(step)), state)
             start_epoch = int(np.asarray(state.step)) // steps_per_epoch
+            # a preemption checkpoint can land mid-epoch: skip the batches
+            # state.step already counts, or the resumed run would retrain
+            # them and overshoot total_steps (exhausting the LR schedule
+            # early). The data order is deterministic per (seed, epoch), so
+            # the skipped prefix is exactly what the interrupted run saw.
+            skip_batches = int(np.asarray(state.step)) % steps_per_epoch
             # continue the data order and augmentation stream instead of
             # replaying epoch 0's randomness
             train_loader.epoch = start_epoch
-            print(f"resumed from step {int(np.asarray(state.step))} (epoch {start_epoch})", file=sys.stderr)
+            print(f"resumed from step {int(np.asarray(state.step))} (epoch {start_epoch}"
+                  + (f", skipping {skip_batches} trained batches" if skip_batches else "")
+                  + ")", file=sys.stderr)
 
     mean, std = tuple(dm.train_mean), tuple(dm.train_std)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
@@ -305,6 +314,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             for i, (imgs, labels) in enumerate(device_put_sharded_batches(train_loader, mesh)):
                 if args.limit_steps_per_epoch and i >= args.limit_steps_per_epoch:
                     break
+                if epoch == start_epoch and i < skip_batches:
+                    continue  # already trained before the preemption
                 key = jax.random.fold_in(key, 1)
                 state, metrics = train_step(state, imgs, labels, key)
                 n_imgs += args.batch_size

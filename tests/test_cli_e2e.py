@@ -220,6 +220,62 @@ def test_train_ssl_model_parallel_smoke(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_train_segmentation_resume_mid_epoch_skips_trained_batches(tmp_path, capfd):
+    """A preemption checkpoint can land mid-epoch; --resume must skip the
+    batches state.step already counts instead of retraining them — or the
+    run overshoots max_epochs*steps_per_epoch and exhausts the LR schedule
+    early. The mid-epoch checkpoint here is produced by a run whose
+    --limit_steps_per_epoch stops at a step that is mid-epoch for the full
+    loader (same data order as an interrupted full run: epoch 0, batch 0)."""
+    rng = np.random.default_rng(7)
+    (tmp_path / "imagesTr").mkdir()
+    (tmp_path / "labelsTr").mkdir()
+    for v in range(6):
+        vol = rng.normal(100, 40, size=(48, 48, 4)).astype(np.float32)
+        seg = np.zeros((48, 48, 4), np.uint8)
+        seg[15:30, 15:30, :] = 1
+        write_nifti(str(tmp_path / "imagesTr" / f"la_{v:03d}.nii.gz"), vol)
+        write_nifti(str(tmp_path / "labelsTr" / f"la_{v:03d}.nii.gz"), seg)
+    from medical_image_segmentation_tpu.data.ingest import create_splits, slice_decathlon
+    from medical_image_segmentation_tpu.train.train_segmentation import main as seg_main
+
+    img_out, msk_out = str(tmp_path / "img"), str(tmp_path / "msk")
+    assert slice_decathlon.main([
+        "--images_dir", str(tmp_path / "imagesTr"), "--labels_dir", str(tmp_path / "labelsTr"),
+        "--images_out", img_out, "--masks_out", msk_out, "--num_processes", "1"]) == 0
+    assert create_splits.main(["--images_dir", img_out, "--output_dir", str(tmp_path / "splits")]) == 0
+
+    ckpt = str(tmp_path / "ckpt")
+    base = [
+        "--dataset", "DECATHLON_HEART", "--images_dir", img_out, "--masks_dir", msk_out,
+        "--split_file", str(tmp_path / "splits" / "split_100_percent_train.json"),
+        "--batch_size", "8", "--warmup_epochs", "0", "--image_size", "64",
+        "--num_workers", "1", "--fp32", "--log_dir", str(tmp_path / "logs"),
+        "--checkpoint_dir", ckpt,
+    ]
+    # "interrupted" run: checkpoint lands at step 1 — mid-epoch for the full
+    # loader (its epochs are ≥2 steps with this data)
+    assert seg_main(base + ["--max_epochs", "1", "--limit_steps_per_epoch", "1"]) == 0
+    assert sorted(int(d) for d in os.listdir(ckpt) if d.isdigit()) == [1]
+
+    capfd.readouterr()
+    assert seg_main(base + ["--max_epochs", "2", "--resume"]) == 0
+    err = capfd.readouterr().err
+    assert "resumed from step 1 (epoch 0, skipping 1 trained batches)" in err
+    final = sorted(int(d) for d in os.listdir(ckpt) if d.isdigit())[-1]
+    # exact step budget: no replayed batches, no overshoot
+    from medical_image_segmentation_tpu.data.datamodules import get_datamodule
+
+    dm = get_datamodule("DECATHLON_HEART")(
+        images_dir=img_out, masks_dir=msk_out,
+        split_file=str(tmp_path / "splits" / "split_100_percent_train.json"),
+        image_size=64)
+    with __import__("contextlib").closing(dm.loader("train", 8, seed=0)) as tl:
+        steps_per_epoch = len(tl)
+    assert steps_per_epoch >= 2, "fixture must make epochs longer than 1 step"
+    assert final == 2 * steps_per_epoch, f"expected {2*steps_per_epoch}, got {final}"
+
+
 def test_train_segmentation_resume_deterministic(tmp_path, capfd):
     """--resume on the segmentation trainer (VERDICT r2 missing #2): the
     continued run must restore the step count, continue the per-epoch data

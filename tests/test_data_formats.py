@@ -8,12 +8,14 @@ import numpy as np
 import pytest
 
 from medical_image_segmentation_tpu.data.dicom import (
+    DEFLATED_VR_LE,
     EXPLICIT_VR_LE,
     IMPLICIT_VR_LE,
     JPEG_BASELINE,
     JPEG_LOSSLESS,
     JPEG_LOSSLESS_SV1,
     RLE_LOSSLESS,
+    DicomError,
     UnsupportedTransferSyntax,
     read_dicom,
     write_dicom,
@@ -73,6 +75,35 @@ class TestDicom:
         d = read_dicom(p2)
         np.testing.assert_array_equal(d.pixel_array, arr)
 
+    @pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+    def test_deflated_roundtrip(self, tmp_path, dtype):
+        """Deflated explicit VR LE (PS3.5 A.5): the whole dataset after the
+        meta group is one raw-deflate stream. The reference reads these
+        through pydicom, which inflates natively (no plugin)."""
+        # compressible data, so the deflate stream actually transforms it
+        # (random data would round-trip through stored blocks verbatim)
+        arr = (np.add.outer(np.arange(24), np.arange(30)) % 251).astype(dtype)
+        p = str(tmp_path / "d.dcm")
+        write_dicom(p, arr, transfer_syntax=DEFLATED_VR_LE)
+        raw = open(p, "rb").read()
+        # the dataset really is compressed: pixel bytes must not be verbatim
+        assert arr.tobytes() not in raw
+        d = read_dicom(p)
+        assert d.transfer_syntax == DEFLATED_VR_LE
+        np.testing.assert_array_equal(d.pixel_array, arr)
+        # header-only scan works too (ingest dimension/hash fast path)
+        h = read_dicom(p, stop_before_pixels=True)
+        assert (h.rows, h.columns) == (24, 30)
+
+    def test_deflated_corrupt_stream_raises_dicom_error(self, tmp_path):
+        arr = np.zeros((8, 8), np.uint8)
+        p = str(tmp_path / "d.dcm")
+        write_dicom(p, arr, transfer_syntax=DEFLATED_VR_LE)
+        raw = bytearray(open(p, "rb").read())
+        raw[-20:] = b"\xff" * 20  # stomp the deflate stream
+        with pytest.raises(DicomError, match="inflate"):
+            read_dicom(io.BytesIO(bytes(raw)))
+
     def test_unsupported_codec_rejected_at_decode_only(self, tmp_path):
         """A still-unsupported codec (JPEG extended 12-bit, process 2&4) must
         parse (header scan works) and raise only when pixels are requested —
@@ -92,6 +123,55 @@ class TestDicom:
         d = read_dicom(io.BytesIO(patched))   # no source_path → no pydicom fallback
         with pytest.raises(UnsupportedTransferSyntax):
             _ = d.pixel_array
+
+    def test_pydicom_fallback_error_taxonomy(self, tmp_path, monkeypatch):
+        """The fallback classifies by CAPABILITY: if pydicom advertises a
+        handler for the syntax, a decode failure is a DicomError (the real
+        cause), never UnsupportedTransferSyntax — even when the message
+        happens to contain words like 'handler' (ADVICE r2 follow-up)."""
+        import sys
+        import types
+
+        from medical_image_segmentation_tpu.data.dicom import DicomError
+
+        arr = np.random.default_rng(0).integers(0, 255, size=(8, 8)).astype(np.uint8)
+        p = str(tmp_path / "c.dcm")
+        write_dicom(p, arr, transfer_syntax=JPEG_LOSSLESS)
+        raw = open(p, "rb").read()
+        patched = raw.replace(JPEG_LOSSLESS.encode(), b"1.2.840.10008.1.2.4.51")
+        p2 = str(tmp_path / "ext.dcm")
+        open(p2, "wb").write(patched)
+
+        def fake_pydicom(handler_supports, dcmread_error=None):
+            mod = types.ModuleType("pydicom")
+            handler = types.SimpleNamespace(
+                is_available=lambda: True,
+                supports_transfer_syntax=lambda uid: handler_supports,
+            )
+            mod.config = types.SimpleNamespace(pixel_data_handlers=[handler])
+
+            def dcmread(path):
+                raise dcmread_error
+            mod.dcmread = dcmread
+            uid_mod = types.ModuleType("pydicom.uid")
+            uid_mod.UID = str
+            mod.uid = uid_mod
+            return mod, uid_mod
+
+        # capable handler + decode failure mentioning "handler" → DicomError
+        mod, uid_mod = fake_pydicom(
+            True, RuntimeError("the GDCM handler failed: corrupt stream"))
+        monkeypatch.setitem(sys.modules, "pydicom", mod)
+        monkeypatch.setitem(sys.modules, "pydicom.uid", uid_mod)
+        with pytest.raises(DicomError, match="corrupt stream"):
+            _ = read_dicom(p2).pixel_array
+
+        # no capable handler → UnsupportedTransferSyntax (decode not tried)
+        mod, uid_mod = fake_pydicom(False)
+        monkeypatch.setitem(sys.modules, "pydicom", mod)
+        monkeypatch.setitem(sys.modules, "pydicom.uid", uid_mod)
+        with pytest.raises(UnsupportedTransferSyntax):
+            _ = read_dicom(p2).pixel_array
 
 
 class TestCompressedDicom:
@@ -652,6 +732,38 @@ def _pil_j2k(arr, **save_kwargs):
     return buf.getvalue()
 
 
+def _craft_sop_eph_coc_stream():
+    """Hand-built minimal codestream: 4x4, 2 components, SOP+EPH enabled in
+    the main COD (Scod=6), plus a COC override for component 1. All packets
+    are empty (T.800 B.9 zero-length header bit), so the decode is all-128
+    after the DC level shift. PIL/OpenJPEG cannot emit SOP/EPH or COC, hence
+    the hand crafting. Regression for: Scoc carries only the precinct flag
+    (A.6.2) — SOP/EPH must be inherited from the COD by COC components, or
+    their packets' SOP/EPH marker bytes are misparsed as header bits."""
+    import struct
+
+    out = bytearray(b"\xff\x4f")  # SOC
+    body = struct.pack(">HIIIIIIIIH", 0, 4, 4, 0, 0, 4, 4, 0, 0, 2)
+    body += bytes([7, 1, 1]) * 2  # 8-bit unsigned, no subsampling, x2 comps
+    out += b"\xff\x51" + struct.pack(">H", len(body) + 2) + body  # SIZ
+    # COD: Scod=6 (SOP+EPH), LRCP, 1 layer, no MCT; 0 levels, 64x64 cb, 5/3
+    body = bytes([6, 0, 0, 1, 0, 0, 4, 4, 0, 1])
+    out += b"\xff\x52" + struct.pack(">H", len(body) + 2) + body
+    # COC for component 1: Scoc=0 (precinct flag only — no SOP/EPH bits)
+    body = bytes([1, 0, 0, 4, 4, 0, 1])
+    out += b"\xff\x53" + struct.pack(">H", len(body) + 2) + body
+    # QCD: no quantization, 2 guard bits, exponent 8 for the lone LL band
+    body = bytes([0x40, 8 << 3])
+    out += b"\xff\x5c" + struct.pack(">H", len(body) + 2) + body
+    # one packet per component (LRCP, 1 layer, 1 resolution, 1 precinct):
+    # SOP marker segment + empty-packet header byte + EPH marker
+    pkts = b"".join(b"\xff\x91\x00\x04" + struct.pack(">H", n) + b"\x00\xff\x92"
+                    for n in (0, 1))
+    out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, 12 + 2 + len(pkts), 0, 1)
+    out += b"\xff\x93" + pkts + b"\xff\xd9"  # SOD, packets, EOC
+    return bytes(out)
+
+
 class TestJpeg2000:
     """From-scratch ITU-T T.800 decoder (data/jpeg2000.py) — DICOM transfer
     syntaxes 1.2.840.10008.1.2.4.90/.91, which the reference decodes via
@@ -694,6 +806,15 @@ class TestJpeg2000:
         arr = rng.integers(0, 256, size=(96, 96)).astype(np.uint8)
         blob = _pil_j2k(arr, irreversible=False, precinct_size=(64, 64))
         np.testing.assert_array_equal(np.asarray(j2k_decode_py(blob)), arr)
+
+    def test_sop_eph_with_coc_override(self):
+        """SOP/EPH are COD tile-level flags (T.800 A.6.2); a component with a
+        COC override must still skip SOP segments and consume EPH markers."""
+        from medical_image_segmentation_tpu.data.jpeg2000 import j2k_decode_py
+
+        out = np.asarray(j2k_decode_py(_craft_sop_eph_coc_stream()))
+        assert out.shape == (4, 4, 2) and out.dtype == np.uint8
+        np.testing.assert_array_equal(out, np.full((4, 4, 2), 128, np.uint8))
 
     def test_truncated_layers_match_openjpeg_bitexact(self):
         """Quality-layer truncation leaves partially decoded code-blocks; the
@@ -871,6 +992,12 @@ class TestJpeg2000Native:
             ours = _j2k_native(blob)
             theirs = np.asarray(j2k_decode_py(blob)).astype(np.int64)
             np.testing.assert_array_equal(ours, theirs)
+
+    def test_sop_eph_with_coc_override(self):
+        """Mirror of the oracle test: SOP/EPH inherited by COC components."""
+        out = _j2k_native(_craft_sop_eph_coc_stream())
+        assert not isinstance(out, int)
+        np.testing.assert_array_equal(out, np.full((4, 4, 2), 128, np.int64))
 
     def test_fuzz_never_crashes(self):
         """Garbage / truncated / bit-flipped streams must return a nonzero rc

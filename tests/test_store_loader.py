@@ -190,6 +190,25 @@ class TestLoader:
             seen.append(labels)
         assert len(seen) == 4
 
+    def test_abandoned_iterator_then_close_joins_producer(self, tmp_path):
+        """A consumer that breaks mid-epoch (e.g. the KNN bank-size cap) and
+        then closes the loader must not leave the prefetch producer running
+        an in-flight fetch against the just-unmapped store. close() joins."""
+        p = tmp_path / "s.mis"
+        _write_store(p, n=64)
+        loader = Loader(str(p), batch_size=4, order=SEQUENTIAL, prefetch=2,
+                        use_native=False)
+        it = iter(loader)
+        next(it)  # producer alive, decoding ahead
+        # deliberately DON'T finalize `it` — mimic an abandoned generator
+        # chain that a non-refcounting GC has not collected yet
+        loader.close()
+        assert not loader._producers
+        # the underlying reader is closed; a racing fetch would have thrown
+        with pytest.raises(Exception):
+            loader._reader[0]
+        del it
+
     def test_sharding_partitions(self, tmp_path):
         p = tmp_path / "s.mis"
         _write_store(p, n=32)
