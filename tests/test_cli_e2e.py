@@ -276,6 +276,78 @@ def test_train_segmentation_resume_mid_epoch_skips_trained_batches(tmp_path, cap
     assert final == 2 * steps_per_epoch, f"expected {2*steps_per_epoch}, got {final}"
 
 
+def test_predict_cli_serves_masks(tmp_path, capfd):
+    """mis-predict (train/predict.py): load a trained checkpoint and serve
+    masks for a directory of slices — the deployable inference entry the
+    reference lacks (its only predict path is trainer.predict grid dumps,
+    reference train_segmentation.py:82-93). Checks batched mode (masks at
+    source resolution, overlays), DICOM input, and sliding-window mode."""
+    rng = np.random.default_rng(9)
+    (tmp_path / "imagesTr").mkdir()
+    (tmp_path / "labelsTr").mkdir()
+    for v in range(4):
+        vol = rng.normal(100, 40, size=(48, 48, 4)).astype(np.float32)
+        seg = np.zeros((48, 48, 4), np.uint8)
+        seg[15:30, 15:30, :] = 1
+        write_nifti(str(tmp_path / "imagesTr" / f"la_{v:03d}.nii.gz"), vol)
+        write_nifti(str(tmp_path / "labelsTr" / f"la_{v:03d}.nii.gz"), seg)
+    from medical_image_segmentation_tpu.data.ingest import create_splits, slice_decathlon
+    from medical_image_segmentation_tpu.train.predict import main as predict_main
+    from medical_image_segmentation_tpu.train.train_segmentation import main as seg_main
+
+    img_out, msk_out = str(tmp_path / "img"), str(tmp_path / "msk")
+    assert slice_decathlon.main([
+        "--images_dir", str(tmp_path / "imagesTr"), "--labels_dir", str(tmp_path / "labelsTr"),
+        "--images_out", img_out, "--masks_out", msk_out, "--num_processes", "1"]) == 0
+    assert create_splits.main(["--images_dir", img_out, "--output_dir", str(tmp_path / "splits")]) == 0
+    ckpt = str(tmp_path / "ckpt")
+    assert seg_main([
+        "--dataset", "DECATHLON_HEART", "--images_dir", img_out, "--masks_dir", msk_out,
+        "--split_file", str(tmp_path / "splits" / "split_100_percent_train.json"),
+        "--batch_size", "8", "--max_epochs", "1", "--limit_steps_per_epoch", "1",
+        "--warmup_epochs", "0", "--image_size", "64", "--num_workers", "1", "--fp32",
+        "--log_dir", str(tmp_path / "logs"), "--checkpoint_dir", ckpt]) == 0
+
+    # batched mode over the PNG slices (source res 48² ≠ network res 64²)
+    out_dir, ov_dir = str(tmp_path / "masks"), str(tmp_path / "overlays")
+    capfd.readouterr()
+    assert predict_main([
+        "--checkpoint", ckpt, "--dataset", "DECATHLON_HEART", "--image_size", "64",
+        "--images_dir", img_out, "--output_dir", out_dir, "--overlay_dir", ov_dir,
+        "--batch_size", "8", "--num_workers", "1", "--fp32"]) == 0
+    summary = json.loads(capfd.readouterr().out.strip().splitlines()[-1])
+    n_slices = len(os.listdir(img_out))
+    assert summary["images"] == n_slices and summary["mode"] == "batched"
+    masks = sorted(os.listdir(out_dir))
+    assert len(masks) == n_slices and len(os.listdir(ov_dir)) == n_slices
+    import cv2
+
+    m = cv2.imread(os.path.join(out_dir, masks[0]), cv2.IMREAD_GRAYSCALE)
+    assert m.shape == (48, 48), "mask must come back at source resolution"
+    assert set(np.unique(m)) <= {0, 255}
+
+    # DICOM input path
+    dcm_dir = tmp_path / "dcm"
+    dcm_dir.mkdir()
+    write_dicom(str(dcm_dir / "a.dcm"), rng.integers(0, 4096, size=(48, 48)).astype(np.uint16))
+    out2 = str(tmp_path / "masks_dcm")
+    assert predict_main([
+        "--checkpoint", ckpt, "--dataset", "DECATHLON_HEART", "--image_size", "64",
+        "--images_dir", str(dcm_dir), "--output_dir", out2,
+        "--batch_size", "8", "--num_workers", "1", "--fp32"]) == 0
+    assert os.listdir(out2) == ["a_mask.png"]
+
+    # sliding-window mode (full-res blended inference)
+    out3 = str(tmp_path / "masks_sw")
+    assert predict_main([
+        "--checkpoint", ckpt, "--dataset", "DECATHLON_HEART", "--image_size", "64",
+        "--images_dir", str(dcm_dir), "--output_dir", out3,
+        "--sliding_window", "32", "--num_workers", "1", "--fp32"]) == 0
+    m3 = cv2.imread(os.path.join(out3, "a_mask.png"), cv2.IMREAD_GRAYSCALE)
+    assert m3.shape == (48, 48)
+
+
+@pytest.mark.slow
 def test_train_segmentation_resume_deterministic(tmp_path, capfd):
     """--resume on the segmentation trainer (VERDICT r2 missing #2): the
     continued run must restore the step count, continue the per-epoch data
