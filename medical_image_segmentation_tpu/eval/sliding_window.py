@@ -70,10 +70,27 @@ def sliding_window_predict(
     stride: int = 0,
     batch_windows: int = 16,
     num_classes: int = 1,
+    mesh=None,
 ) -> jax.Array:
-    """Full-res logits (H, W, K) by overlapped window blending."""
+    """Full-res logits (H, W, K) by overlapped window blending.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — shards each window batch over
+    the mesh's ``data`` axis so the U-Net forward (the FLOPs) runs on all
+    chips; extraction and the scatter-blend stay replicated (they are
+    bandwidth-trivial next to the forward). ``batch_windows`` is rounded up
+    to a multiple of the mesh size."""
     if stride <= 0:
         stride = window // 2
+    shard_views = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        ndev = int(np.prod(list(mesh.shape.values())))
+        batch_windows = -(-batch_windows // ndev) * ndev
+        sharding = NamedSharding(mesh, PartitionSpec("data"))
+
+        def shard_views(v):
+            return jax.device_put(v, sharding)
     orig_h, orig_w, c = image.shape
     pad_h = max(window - orig_h, 0)
     pad_w = max(window - orig_w, 0)
@@ -97,6 +114,8 @@ def sliding_window_predict(
     for s in range(0, len(coords), batch_windows):
         cb = jnp.asarray(coords[s : s + batch_windows])
         windows = _extract_windows(image, cb, window)
+        if shard_views is not None:
+            windows = shard_views(windows)
         logits = apply_fn(windows).astype(jnp.float32)        # (B, S, S, K)
         valid = jnp.int32(min(n - s, batch_windows))
         out_logits, weight_sum = _blend_batch(

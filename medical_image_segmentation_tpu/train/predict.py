@@ -203,7 +203,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         for name, img in batched_sources():
             x = (img.astype(np.float32) / 255.0 - mean) / std
             logits = sliding_window_predict(
-                window_fn, jnp.asarray(x[..., None]), window=args.sliding_window)
+                window_fn, jnp.asarray(x[..., None]), window=args.sliding_window,
+                mesh=mesh)  # window batches sharded over all chips
             mask = np.asarray(post_process_masks(logits, threshold=args.threshold))[..., 0]
             base = os.path.splitext(name)[0] + "_mask.png"
             _write_mask(os.path.join(args.output_dir, base), mask)

@@ -277,7 +277,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             img, msk = ds[i]
             x = (img.astype(np.float32) / 255.0 - mean_a) / std_a
             logits = sliding_window_predict(
-                window_fn, jnp.asarray(x[..., None]), window=args.full_res_window
+                window_fn, jnp.asarray(x[..., None]), window=args.full_res_window,
+                mesh=mesh if nproc == 1 else None,  # all local chips serve windows
             )
             pred = post_process_masks(logits)
             dices.append(float(dice_coefficient(pred, jnp.asarray(msk[..., None], jnp.float32))))

@@ -46,6 +46,26 @@ class TestSlidingWindow:
         assert out.shape == (20, 24, 1)
         np.testing.assert_allclose(np.asarray(out), 2.0, atol=1e-4)
 
+    def test_mesh_sharded_matches_single_device(self):
+        """mesh= shards each window batch over the data axis (the U-Net
+        forward runs on all chips); the blended logits must match the
+        unsharded path bit-for-fp-bit."""
+        from medical_image_segmentation_tpu.eval.sliding_window import make_unet_window_fn
+        from medical_image_segmentation_tpu.parallel import make_mesh
+        from medical_image_segmentation_tpu.train import SegmentationTask
+
+        task = SegmentationTask(arch="resnet18", dtype=jnp.float32)
+        state = task.init(jax.random.key(0), (2, 32, 32, 1))
+        fn = make_unet_window_fn(task, state)
+        rng = np.random.default_rng(1)
+        img = jnp.asarray(rng.normal(size=(64, 96, 1)).astype(np.float32))
+        ref = sliding_window_predict(fn, img, window=32, batch_windows=8)
+        mesh = make_mesh()
+        assert int(np.prod(list(mesh.shape.values()))) == 8  # conftest CPU mesh
+        # batch_windows=6 must be rounded up to the mesh size (8)
+        out = sliding_window_predict(fn, img, window=32, batch_windows=6, mesh=mesh)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
     def test_unet_full_res(self):
         """Window-trained U-Net evaluated on a larger slice."""
         from medical_image_segmentation_tpu.eval.sliding_window import make_unet_window_fn
