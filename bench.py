@@ -71,6 +71,73 @@ def _make_auto_store(path: str, n: int, size: int, codec_name: str) -> None:
             w.add(rng.integers(0, 256, size=(size, size, 1)).astype(np.uint8), codec=codec)
 
 
+def _seg_bench(args):
+    """U-Net segmentation train-step throughput (the reference's canonical
+    seg config: U-Net(resnet18), 224², batch 512 over 4 GPUs → 128/chip,
+    `train_segmentation.py:22,35`). Device-resident uint8 batch + the same
+    device-side paired augmentation the trainer runs."""
+    import jax
+    import jax.numpy as jnp
+
+    from medical_image_segmentation_tpu.ops.augment import segmentation_augment
+    from medical_image_segmentation_tpu.parallel import make_mesh, replicated, shard_batch
+    from medical_image_segmentation_tpu.train.segmentation_task import SegmentationTask
+
+    if args.store is not None or args.precrop:
+        raise SystemExit("--task seg benchmarks device-resident batches "
+                         "(paired stores are exercised by the trainer tests)")
+    n_chips = len(jax.devices())
+    if args.batch_size % n_chips:
+        raise SystemExit(f"--batch_size {args.batch_size} must divide {n_chips} devices")
+    size = (args.image_size, args.image_size)
+    task = SegmentationTask(
+        arch=args.arch, n_classes=1, in_channels=1, learning_rate=1.0,
+        warmup_epochs=10, max_epochs=50, steps_per_epoch=100, remat=args.remat,
+    )
+    mesh = make_mesh()
+    state = task.init(jax.random.key(0), (2, args.image_size, args.image_size, 1))
+    state = jax.device_put(state, replicated(mesh))
+
+    from functools import partial as _partial
+
+    @_partial(jax.jit, donate_argnums=0)
+    def step(state, imgs, msks, key):
+        x, y = segmentation_augment(key, imgs, msks, out_size=size,
+                                    mean=(0.2089,), std=(0.2109,), train=True,
+                                    dtype=jnp.bfloat16)
+        return task.train_step(state, x, y)
+
+    rng = np.random.default_rng(0)
+    imgs = shard_batch(mesh, rng.integers(
+        0, 256, size=(args.batch_size, args.image_size, args.image_size, 1)).astype(np.uint8))
+    msks = shard_batch(mesh, (rng.random(
+        (args.batch_size, args.image_size, args.image_size, 1)) < 0.2).astype(np.uint8))
+    key = jax.random.key(1)
+    for i in range(args.warmup):
+        state, metrics = step(state, imgs, msks, jax.random.fold_in(key, i))
+    float(metrics["train/loss"])  # host fence (axon: block_until_ready lies)
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state, metrics = step(state, imgs, msks, jax.random.fold_in(key, 100 + i))
+    final_loss = float(metrics["train/loss"])
+    dt = time.perf_counter() - t0
+    imgs_per_sec = args.batch_size * args.steps / dt
+    per_chip = imgs_per_sec / n_chips
+    flops = _step_flops(step, state, imgs, msks, key)
+    peak = _peak_flops_per_chip()
+    mfu = round(flops * args.steps / dt / (peak * n_chips), 4) if flops and peak else None
+    print(f"[seg] loss={final_loss:.4f} total={imgs_per_sec:.0f} img/s "
+          f"({dt/args.steps*1e3:.1f} ms/step)", file=sys.stderr)
+    print(json.dumps({
+        "metric": "seg_train_images_per_sec_per_chip",
+        "value": round(per_chip, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / 5000.0, 3),
+        "task": "seg", "mfu": mfu,
+    }))
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch_size", type=int, default=1024)
@@ -96,7 +163,15 @@ def main():
                     help="checkpoint residual blocks (fit bigger archs/batches)")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of the timed steps to DIR")
+    ap.add_argument("--task", default="byol", choices=["byol", "seg"],
+                    help="seg: U-Net(arch) segmentation train step with "
+                         "device-side paired augmentation (canonical config: "
+                         "--task seg --batch_size 128 --image_size 224); "
+                         "device-resident batches only")
     args = ap.parse_args()
+
+    if args.task == "seg":
+        return _seg_bench(args)
 
     from medical_image_segmentation_tpu.ops.augment import BYOL_VIEW1, BYOL_VIEW2
     from medical_image_segmentation_tpu.ops.pallas_augment import pallas_two_view_augment
