@@ -545,20 +545,25 @@ def write_dicom(
 
                 payload = jpeg_ls_encode(
                     fr, near=0 if ts == JPEG_LS_LOSSLESS else 2, precision=bits)
-            elif ts in (JPEG_2000_LOSSLESS, JPEG_2000):
-                # fixture/tooling path: PIL's OpenJPEG encoder (handles tiny
-                # images + 16-bit); decode is our own data/jpeg2000.py
+            elif ts == JPEG_2000_LOSSLESS:
+                from medical_image_segmentation_tpu.data.jpeg2000_encode import (
+                    j2k_encode,
+                )
+
+                payload = j2k_encode(fr)
+            elif ts == JPEG_2000:
+                # lossy (.91) fixtures only: our encoder is lossless-profile
+                # (reversible 5/3); use PIL/OpenJPEG's irreversible 9/7 here
                 import io as _io
 
                 from PIL import Image as _PILImage
 
-                kw = (dict(irreversible=False) if ts == JPEG_2000_LOSSLESS
-                      else dict(irreversible=True, quality_mode="rates",
-                                quality_layers=[10]))
                 buf = _io.BytesIO()
                 try:
                     _PILImage.fromarray(fr).save(
-                        buf, format="JPEG2000", no_jp2=True, **kw)
+                        buf, format="JPEG2000", no_jp2=True,
+                        irreversible=True, quality_mode="rates",
+                        quality_layers=[10])
                 except Exception as e:
                     raise DicomError(f"JPEG 2000 encode failed: {e}") from e
                 payload = buf.getvalue()

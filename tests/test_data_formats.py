@@ -1040,3 +1040,86 @@ class TestJpeg2000Native:
             b = j2k_decode_py(blob)
             assert a.dtype == b.dtype and a.shape == b.shape
             np.testing.assert_array_equal(a, b)
+
+
+class TestJpeg2000Encoder:
+    """From-scratch T.800 lossless encoder (data/jpeg2000_encode.py).
+    Three-way cross-validation: every codestream must decode bit-identically
+    through (1) our Python oracle, (2) our C++ fast path, and (3) OpenJPEG
+    via PIL — an implementation-independent decoder. The reference repo has
+    no J2K encode path at all (it only consumes, via pylibjpeg-openjpeg)."""
+
+    @pytest.mark.parametrize(
+        "shape,dtype,levels",
+        [((1, 1), np.uint8, None), ((5, 7), np.uint8, 0),
+         ((64, 80), np.uint8, None), ((33, 65), np.uint16, 3),
+         ((17, 17), np.uint16, 1), ((128, 96), np.uint8, 5),
+         ((40, 56), np.uint16, None)])
+    def test_roundtrip_oracle(self, shape, dtype, levels):
+        from medical_image_segmentation_tpu.data.jpeg2000 import j2k_decode_py
+        from medical_image_segmentation_tpu.data.jpeg2000_encode import j2k_encode
+
+        rng = np.random.default_rng(30)
+        arr = rng.integers(0, np.iinfo(dtype).max + 1, size=shape, dtype=dtype)
+        out = np.asarray(j2k_decode_py(j2k_encode(arr, levels=levels)))
+        assert out.dtype == arr.dtype
+        np.testing.assert_array_equal(out, arr)
+
+    def test_roundtrip_signed(self):
+        from medical_image_segmentation_tpu.data.jpeg2000 import j2k_decode_py
+        from medical_image_segmentation_tpu.data.jpeg2000_encode import j2k_encode
+
+        rng = np.random.default_rng(31)
+        arr = rng.integers(-2048, 2048, size=(37, 41)).astype(np.int16)
+        out = np.asarray(j2k_decode_py(j2k_encode(arr)))
+        assert out.dtype == np.int16
+        np.testing.assert_array_equal(out, arr)
+
+    def test_roundtrip_rgb(self):
+        from medical_image_segmentation_tpu.data.jpeg2000 import j2k_decode_py
+        from medical_image_segmentation_tpu.data.jpeg2000_encode import j2k_encode
+
+        rng = np.random.default_rng(32)
+        arr = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(
+            np.asarray(j2k_decode_py(j2k_encode(arr))), arr)
+
+    def test_native_decodes_our_streams(self):
+        from medical_image_segmentation_tpu.data.jpeg2000_encode import j2k_encode
+
+        rng = np.random.default_rng(33)
+        for arr in (rng.integers(0, 256, size=(61, 47), dtype=np.uint8),
+                    rng.integers(0, 4096, size=(40, 40)).astype(np.uint16)):
+            out = _j2k_native(j2k_encode(arr))
+            assert not isinstance(out, int)
+            np.testing.assert_array_equal(out, arr)
+
+    def test_openjpeg_decodes_our_streams(self):
+        """Independent-decoder check: PIL/OpenJPEG reads our codestreams."""
+        import io
+
+        PIL = pytest.importorskip("PIL.Image")
+        from medical_image_segmentation_tpu.data.jpeg2000_encode import j2k_encode
+
+        rng = np.random.default_rng(34)
+        for arr in (rng.integers(0, 256, size=(64, 80), dtype=np.uint8),
+                    rng.integers(0, 65536, size=(33, 47)).astype(np.uint16),
+                    rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)):
+            theirs = np.asarray(PIL.open(io.BytesIO(j2k_encode(arr))))
+            np.testing.assert_array_equal(
+                theirs.astype(np.int64), arr.astype(np.int64))
+
+    def test_dicom_j2k_fixture_path_uses_our_encoder(self, tmp_path):
+        """write_dicom's .90 path no longer needs PIL (dicom.py J2K branch)."""
+        import sys
+        import unittest.mock as mock
+
+        from medical_image_segmentation_tpu.data.dicom import (
+            JPEG_2000_LOSSLESS, read_dicom, write_dicom)
+
+        rng = np.random.default_rng(35)
+        arr = rng.integers(0, 4096, size=(48, 48)).astype(np.uint16)
+        p = str(tmp_path / "j2k_ours.dcm")
+        with mock.patch.dict(sys.modules, {"PIL": None, "PIL.Image": None}):
+            write_dicom(p, arr, transfer_syntax=JPEG_2000_LOSSLESS)
+        np.testing.assert_array_equal(read_dicom(p).pixel_array, arr)
