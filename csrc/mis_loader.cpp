@@ -38,6 +38,12 @@
 #include <png.h>
 #include <csetjmp>
 
+// JPEG-LS codec, linked into the same shared object (csrc/jpegls_codec.cpp)
+extern "C" int jpegls_probe(const uint8_t* data, int64_t size, int* rows,
+                            int* cols, int* ncomp, int* precision);
+extern "C" int jpegls_decode(const uint8_t* data, int64_t size, uint16_t* out,
+                             int64_t out_capacity);
+
 namespace {
 
 constexpr uint64_t kHeaderSize = 64;
@@ -45,6 +51,8 @@ constexpr uint64_t kRecordSize = 32;
 constexpr uint8_t kCodecRaw = 0;
 constexpr uint8_t kCodecJpeg = 1;
 constexpr uint8_t kCodecPng = 2;
+constexpr uint8_t kCodecJls = 3;   // JPEG-LS (csrc/jpegls_codec.cpp)
+constexpr uint32_t kFlagU16 = 1;   // header flag: samples are uint16 LE
 
 #pragma pack(push, 1)
 struct Header {
@@ -255,19 +263,78 @@ int decode_png(const uint8_t* buf, size_t len, std::vector<uint8_t>& tmp,
   return 0;
 }
 
+// 16-bit grayscale PNG → host-endian uint16 (u16 stores are 1-channel; the
+// writer emits PNG_COLOR_TYPE_GRAY bit_depth 16, see store/writer.py)
+int decode_png16(const uint8_t* buf, size_t len, std::vector<uint16_t>& tmp,
+                 int want_c, int* h, int* w) {
+  if (want_c != 1) return -3;
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return -1;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return -1;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return -1;
+  }
+  PngReadState state{buf, len, 0};
+  png_set_read_fn(png, &state, png_read_fn);
+  png_read_info(png, info);
+  png_uint_32 width, height;
+  int bit_depth, color_type;
+  png_get_IHDR(png, info, &width, &height, &bit_depth, &color_type, nullptr, nullptr, nullptr);
+  if (bit_depth != 16 || color_type != PNG_COLOR_TYPE_GRAY) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return -8;  // u16 stores hold 16-bit grayscale payloads only
+  }
+  png_set_swap(png);  // PNG samples are big-endian on the wire
+  png_read_update_info(png, info);
+  if (png_get_channels(png, info) != 1) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return -8;
+  }
+  *h = height;
+  *w = width;
+  tmp.resize(size_t(height) * width);
+  std::vector<png_bytep> rows(height);
+  for (png_uint_32 i = 0; i < height; ++i)
+    rows[i] = reinterpret_cast<png_bytep>(tmp.data() + size_t(i) * width);
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  return 0;
+}
+
+// JPEG-LS → uint16 plane(s); the probe supplies dims so the output buffer
+// is exact. Precision <= 16; u8 callers narrow after checking precision.
+int decode_jls16(const uint8_t* buf, size_t len, std::vector<uint16_t>& tmp,
+                 int want_c, int* h, int* w, int* precision) {
+  int rows = 0, cols = 0, ncomp = 0, prec = 0;
+  if (jpegls_probe(buf, (int64_t)len, &rows, &cols, &ncomp, &prec) != 0) return -9;
+  if (ncomp != want_c || rows <= 0 || cols <= 0) return -3;
+  tmp.resize(size_t(rows) * cols * ncomp);
+  if (jpegls_decode(buf, (int64_t)len, tmp.data(), (int64_t)tmp.size()) != 0) return -9;
+  *h = rows;
+  *w = cols;
+  *precision = prec;
+  return 0;
+}
+
 // nearest-neighbor place/resize of tmp (sh, sw, c) into out (oh, ow, c).
-void place(const uint8_t* src, int sh, int sw, uint8_t* out, int oh, int ow, int c) {
+template <typename T>
+void place(const T* src, int sh, int sw, T* out, int oh, int ow, int c) {
   if (sh == oh && sw == ow) {
-    memcpy(out, src, size_t(oh) * ow * c);
+    memcpy(out, src, size_t(oh) * ow * c * sizeof(T));
     return;
   }
   for (int y = 0; y < oh; ++y) {
     int sy = (int)(((int64_t)y * sh) / oh);
-    const uint8_t* srow = src + size_t(sy) * sw * c;
-    uint8_t* orow = out + size_t(y) * ow * c;
+    const T* srow = src + size_t(sy) * sw * c;
+    T* orow = out + size_t(y) * ow * c;
     for (int x = 0; x < ow; ++x) {
       int sx = (int)(((int64_t)x * sw) / ow);
-      memcpy(orow + size_t(x) * c, srow + size_t(sx) * c, c);
+      memcpy(orow + size_t(x) * c, srow + size_t(sx) * c, c * sizeof(T));
     }
   }
 }
@@ -279,9 +346,10 @@ void place(const uint8_t* src, int sh, int sw, uint8_t* out, int oh, int ow, int
 // (ops/pallas_augment.py::_interp_rows mirror=true). Output rounds to
 // nearest uint8 — same quantization the reference's FFCV/torchvision
 // uint8 pipeline applies after RandomResizedCrop.
-void crop_resize_bilinear(const uint8_t* src, int sh, int sw, int c,
+template <typename T>
+void crop_resize_bilinear(const T* src, int sh, int sw, int c,
                           float y0, float x0, float ch, float cw, int flip,
-                          uint8_t* out, int vh, int vw) {
+                          T* out, int vh, int vw) {
   const float sy = ch / vh, sx = cw / vw;
   // precompute x taps once per row sweep
   thread_local std::vector<int> xl_v, xh_v;
@@ -308,17 +376,17 @@ void crop_resize_bilinear(const uint8_t* src, int sh, int sw, int c,
     int ylo = (int)fy;
     int yhi = ylo + 1 < sh ? ylo + 1 : ylo;
     float yf = fy - ylo;
-    const uint8_t* r0 = src + size_t(ylo) * sw * c;
-    const uint8_t* r1 = src + size_t(yhi) * sw * c;
-    uint8_t* orow = out + size_t(i) * vw * c;
+    const T* r0 = src + size_t(ylo) * sw * c;
+    const T* r1 = src + size_t(yhi) * sw * c;
+    T* orow = out + size_t(i) * vw * c;
     for (int j = 0; j < vw; ++j) {
       const int xl = xl_v[j] * c, xh = xh_v[j] * c;
       const float xf = xf_v[j];
       for (int k = 0; k < c; ++k) {
-        float top = r0[xl + k] + (r0[xh + k] - r0[xl + k]) * xf;
-        float bot = r1[xl + k] + (r1[xh + k] - r1[xl + k]) * xf;
+        float top = r0[xl + k] + (float(r0[xh + k]) - float(r0[xl + k])) * xf;
+        float bot = r1[xl + k] + (float(r1[xh + k]) - float(r1[xl + k])) * xf;
         float v = top + (bot - top) * yf;
-        orow[size_t(j) * c + k] = (uint8_t)(v + 0.5f);
+        orow[size_t(j) * c + k] = (T)(v + 0.5f);
       }
     }
   }
@@ -420,11 +488,44 @@ int decode_jpeg_region(const uint8_t* buf, size_t len, std::vector<uint8_t>& tmp
   return 0;
 }
 
+// decode the payload of record r into the thread-local tmp (h*w*oc samples
+// of T); shared codec dispatch for both fetch paths. T=uint8_t accepts
+// RAW/JPEG/PNG/JLS(precision<=8, narrowed); T=uint16_t accepts RAW (LE
+// cast)/PNG16/JLS — JPEG is 8-bit-only by construction (store/writer.py).
+template <typename T>
+int decode_payload(const uint8_t* payload, uint64_t length, uint8_t codec,
+                   std::vector<T>& tmp, int oc, int* h, int* w) {
+  if constexpr (sizeof(T) == 1) {
+    if (codec == kCodecJpeg) return decode_jpeg(payload, length, tmp, oc, h, w);
+    if (codec == kCodecPng) return decode_png(payload, length, tmp, oc, h, w);
+    if (codec == kCodecJls) {
+      thread_local std::vector<uint16_t> wide;
+      int prec = 0;
+      int rc = decode_jls16(payload, length, wide, oc, h, w, &prec);
+      if (rc != 0) return rc;
+      if (prec > 8) return -8;  // >8-bit payload in a u8 store
+      tmp.resize(wide.size());
+      for (size_t i = 0; i < wide.size(); ++i) tmp[i] = (uint8_t)wide[i];
+      return 0;
+    }
+    return -3;
+  } else {
+    if (codec == kCodecPng) return decode_png16(payload, length, tmp, oc, h, w);
+    if (codec == kCodecJls) {
+      int prec = 0;
+      return decode_jls16(payload, length, tmp, oc, h, w, &prec);
+    }
+    return -3;
+  }
+}
+
 // decode sample idx at native resolution into tmp; returns 0 and sets
 // (h, w, ptr) or a negative error code. RAW points into the mmap (zero
-// copy); JPEG/PNG decode into the thread-local tmp.
-int decode_native(const Store* s, int64_t idx, std::vector<uint8_t>& tmp,
-                  int oc, int* h, int* w, const uint8_t** ptr, int32_t* label) {
+// copy — payloads are 64-byte aligned, so the uint16 cast is safe);
+// compressed codecs decode into the thread-local tmp.
+template <typename T>
+int decode_native(const Store* s, int64_t idx, std::vector<T>& tmp,
+                  int oc, int* h, int* w, const T** ptr, int32_t* label) {
   if (idx < 0 || (uint64_t)idx >= s->header.num_samples) return -2;
   const Record& r = s->records[idx];
   if (r.offset > s->size || r.length > s->size - r.offset) return -4;
@@ -432,22 +533,22 @@ int decode_native(const Store* s, int64_t idx, std::vector<uint8_t>& tmp,
   *label = r.label;
   if (r.codec == kCodecRaw) {
     if (r.height == 0 || r.width == 0 || r.channels == 0) return -5;
-    if (r.length < (uint64_t)r.height * r.width * r.channels) return -5;
+    if (r.length < (uint64_t)r.height * r.width * r.channels * sizeof(T)) return -5;
     if (r.channels != oc) return -3;
     *h = r.height;
     *w = r.width;
-    *ptr = payload;
+    *ptr = reinterpret_cast<const T*>(payload);
     return 0;
   }
-  int rc = (r.codec == kCodecJpeg) ? decode_jpeg(payload, r.length, tmp, oc, h, w)
-                                   : decode_png(payload, r.length, tmp, oc, h, w);
+  int rc = decode_payload(payload, r.length, r.codec, tmp, oc, h, w);
   if (rc != 0) return rc;
   if (*h <= 0 || *w <= 0) return -6;
   *ptr = tmp.data();
   return 0;
 }
 
-int decode_one(const Store* s, int64_t idx, uint8_t* out, int oh, int ow, int oc,
+template <typename T>
+int decode_one(const Store* s, int64_t idx, T* out, int oh, int ow, int oc,
                int32_t* label) {
   if (idx < 0 || (uint64_t)idx >= s->header.num_samples) return -2;
   const Record& r = s->records[idx];
@@ -456,19 +557,18 @@ int decode_one(const Store* s, int64_t idx, uint8_t* out, int oh, int ow, int oc
   if (r.offset > s->size || r.length > s->size - r.offset) return -4;
   if (r.codec == kCodecRaw) {
     if (r.height == 0 || r.width == 0 || r.channels == 0) return -5;
-    if (r.length < (uint64_t)r.height * r.width * r.channels) return -5;
+    if (r.length < (uint64_t)r.height * r.width * r.channels * sizeof(T)) return -5;
   }
   const uint8_t* payload = s->base + r.offset;
   *label = r.label;
   if (r.codec == kCodecRaw) {
     if (r.channels != oc) return -3;
-    place(payload, r.height, r.width, out, oh, ow, oc);
+    place(reinterpret_cast<const T*>(payload), r.height, r.width, out, oh, ow, oc);
     return 0;
   }
-  thread_local std::vector<uint8_t> tmp;
+  thread_local std::vector<T> tmp;
   int h = 0, w = 0;
-  int rc = (r.codec == kCodecJpeg) ? decode_jpeg(payload, r.length, tmp, oc, &h, &w)
-                                   : decode_png(payload, r.length, tmp, oc, &h, &w);
+  int rc = decode_payload(payload, r.length, r.codec, tmp, oc, &h, &w);
   if (rc != 0) return rc;
   if (h <= 0 || w <= 0) return -6;
   place(tmp.data(), h, w, out, oh, ow, oc);
@@ -505,7 +605,8 @@ void* mis_open(const char* path) {
   memcpy(&s->header, s->base, sizeof(Header));
   // overflow-safe: num_samples must fit the table region
   uint64_t max_records = ((uint64_t)st.st_size - kHeaderSize) / kRecordSize;
-  if (memcmp(s->header.magic, "MISTORE1", 8) != 0 || s->header.num_samples > max_records) {
+  if (memcmp(s->header.magic, "MISTORE1", 8) != 0 || s->header.num_samples > max_records ||
+      (s->header.flags & ~kFlagU16) != 0) {
     munmap(base, st.st_size);
     close(fd);
     delete s;
@@ -534,11 +635,22 @@ void mis_shape(void* store, int* h, int* w, int* c) {
   *c = s->header.channels;
 }
 
-// Decode n samples (by index) into out (n * oh * ow * oc uint8) and labels.
-// Returns 0 on success, or the first nonzero per-sample error code.
-int mis_fetch(void* store, const int64_t* indices, int n, uint8_t* out,
-              int oh, int ow, int oc, int32_t* labels, int num_threads) {
+}  // extern "C"
+
+namespace {
+
+// true iff the store's sample dtype matches T — calling the u8 entry point
+// on a u16 store (or vice versa) must fail loudly, not reinterpret bytes
+template <typename T>
+bool dtype_matches(const Store* s) {
+  return ((s->header.flags & kFlagU16) != 0) == (sizeof(T) == 2);
+}
+
+template <typename T>
+int mis_fetch_impl(void* store, const int64_t* indices, int n, T* out,
+                   int oh, int ow, int oc, int32_t* labels, int num_threads) {
   Store* s = static_cast<Store*>(store);
+  if (!dtype_matches<T>(s)) return -10;
   const size_t stride = size_t(oh) * ow * oc;
 
   // hint the kernel about the pages this batch touches (indices validated
@@ -574,31 +686,12 @@ int mis_fetch(void* store, const int64_t* indices, int n, uint8_t* out,
   return err.load();
 }
 
-// Host-side RandomResizedCrop fast path: decode each sample once at native
-// resolution, then emit `views` bilinear crop-resized views per sample.
-//
-// Rationale (BASELINE.md "store mode"): shipping V pre-cropped views of
-// vh*vw*oc bytes instead of one full oh*ow*oc image cuts H2D bytes ~2x for
-// the canonical 256^2 store -> 2x112^2 SSL views — the win that matters on
-// narrow host<->device links where the DMA, not decode, is the bottleneck.
-// The crop geometry matches the device resampler (ops/augment.py) so the
-// two paths are interchangeable (parity-tested in tests/test_precrop.py);
-// the elementwise augmentation tail (solarize/windowing/normalize) still
-// runs on device.
-//
-// params: n * views * 5 floats per view, laid out [sample][view][5] =
-//   (y0, x0, crop_h, crop_w, flip). out: (n * views, vh, vw, oc) uint8 with
-//   view v of sample i at index i*views + v — SAMPLE-major. This layout is
-//   load-bearing for SPMD: the global batch is assembled by concatenating
-//   per-host shards along axis 0 (parallel/mesh.py::shard_batch), and a
-//   batch-sharded (B*V, ...) array reshapes to (B, V, ...) with each
-//   device slicing its own rows — view-major would interleave hosts'
-//   pairs wrongly and force cross-device resharding on the view split.
-// Returns 0 or the first nonzero per-sample error code.
-int mis_fetch_views(void* store, const int64_t* indices, int n,
-                    const float* params, int views, uint8_t* out,
-                    int vh, int vw, int oc, int32_t* labels, int num_threads) {
+template <typename T>
+int mis_fetch_views_impl(void* store, const int64_t* indices, int n,
+                         const float* params, int views, T* out,
+                         int vh, int vw, int oc, int32_t* labels, int num_threads) {
   Store* s = static_cast<Store*>(store);
+  if (!dtype_matches<T>(s)) return -10;
   if (n <= 0 || views <= 0 || vh <= 0 || vw <= 0 || oc <= 0) return -7;
   const size_t vstride = size_t(vh) * vw * oc;
 
@@ -614,28 +707,33 @@ int mis_fetch_views(void* store, const int64_t* indices, int n,
   std::atomic<int> next{0};
   std::atomic<int> err{0};
   auto work = [&]() {
-    thread_local std::vector<uint8_t> tmp;
+    thread_local std::vector<T> tmp;
     while (true) {
       int i = next.fetch_add(1);
       if (i >= n) break;
       // full image dims for window clamping; (ox, oy, sh, sw) describe the
       // decoded region (whole image except for the windowed-JPEG path)
       int h = 0, w = 0, ox = 0, oy = 0, sh = 0, sw = 0;
-      const uint8_t* src = nullptr;
+      const T* src = nullptr;
       int rc;
       const int64_t idx = indices[i];
       const Record* rec =
           (idx >= 0 && (uint64_t)idx < s->header.num_samples) ? &s->records[idx] : nullptr;
-      if (rec && rec->codec == kCodecJpeg &&
-          rec->offset <= s->size && rec->length <= s->size - rec->offset) {
-        // JPEG: decode only the windows' union bounding box (see
-        // decode_jpeg_region) — RRC windows rarely need the whole image
-        labels[i] = rec->label;
-        rc = decode_jpeg_region(s->base + rec->offset, rec->length, tmp, oc,
-                                params + size_t(i) * views * 5, views,
-                                &h, &w, &ox, &oy, &sw, &sh);
-        src = tmp.data();
-      } else {
+      bool region_decoded = false;
+      if constexpr (sizeof(T) == 1) {
+        if (rec && rec->codec == kCodecJpeg &&
+            rec->offset <= s->size && rec->length <= s->size - rec->offset) {
+          // JPEG: decode only the windows' union bounding box (see
+          // decode_jpeg_region) — RRC windows rarely need the whole image
+          labels[i] = rec->label;
+          rc = decode_jpeg_region(s->base + rec->offset, rec->length, tmp, oc,
+                                  params + size_t(i) * views * 5, views,
+                                  &h, &w, &ox, &oy, &sw, &sh);
+          src = tmp.data();
+          region_decoded = true;
+        }
+      }
+      if (!region_decoded) {
         rc = decode_native(s, idx, tmp, oc, &h, &w, &src, labels + i);
         sh = h;
         sw = w;
@@ -664,6 +762,66 @@ int mis_fetch_views(void* store, const int64_t* indices, int n,
     s->pool.run(work, num_threads - 1);
   }
   return err.load();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode n samples (by index) into out (n * oh * ow * oc samples) and labels.
+// Returns 0 on success, or the first nonzero per-sample error code.
+int mis_fetch(void* store, const int64_t* indices, int n, uint8_t* out,
+              int oh, int ow, int oc, int32_t* labels, int num_threads) {
+  return mis_fetch_impl(store, indices, n, out, oh, ow, oc, labels, num_threads);
+}
+
+// uint16 stores (header kFlagU16): same contract, uint16 output buffer.
+int mis_fetch_u16(void* store, const int64_t* indices, int n, uint16_t* out,
+                  int oh, int ow, int oc, int32_t* labels, int num_threads) {
+  return mis_fetch_impl(store, indices, n, out, oh, ow, oc, labels, num_threads);
+}
+
+// sample dtype discriminator: 0 = uint8, 1 = uint16
+int mis_sample_u16(void* store) {
+  return (static_cast<Store*>(store)->header.flags & kFlagU16) ? 1 : 0;
+}
+
+// Host-side RandomResizedCrop fast path: decode each sample once at native
+// resolution, then emit `views` bilinear crop-resized views per sample.
+//
+// Rationale (BASELINE.md "store mode"): shipping V pre-cropped views of
+// vh*vw*oc bytes instead of one full oh*ow*oc image cuts H2D bytes ~2x for
+// the canonical 256^2 store -> 2x112^2 SSL views — the win that matters on
+// narrow host<->device links where the DMA, not decode, is the bottleneck.
+// The crop geometry matches the device resampler (ops/augment.py) so the
+// two paths are interchangeable (parity-tested in tests/test_precrop.py);
+// the elementwise augmentation tail (solarize/windowing/normalize) still
+// runs on device.
+//
+// params: n * views * 5 floats per view, laid out [sample][view][5] =
+//   (y0, x0, crop_h, crop_w, flip). out: (n * views, vh, vw, oc) uint8 with
+//   view v of sample i at index i*views + v — SAMPLE-major. This layout is
+//   load-bearing for SPMD: the global batch is assembled by concatenating
+//   per-host shards along axis 0 (parallel/mesh.py::shard_batch), and a
+//   batch-sharded (B*V, ...) array reshapes to (B, V, ...) with each
+//   device slicing its own rows — view-major would interleave hosts'
+//   pairs wrongly and force cross-device resharding on the view split.
+// Returns 0 or the first nonzero per-sample error code.
+int mis_fetch_views(void* store, const int64_t* indices, int n,
+                    const float* params, int views, uint8_t* out,
+                    int vh, int vw, int oc, int32_t* labels, int num_threads) {
+  return mis_fetch_views_impl(store, indices, n, params, views, out,
+                              vh, vw, oc, labels, num_threads);
+}
+
+// uint16 stores: same contract, uint16 view buffer. No windowed-JPEG fast
+// path (u16 payloads are RAW/PNG16/JLS); the decode-once + V-crops structure
+// is identical.
+int mis_fetch_views_u16(void* store, const int64_t* indices, int n,
+                        const float* params, int views, uint16_t* out,
+                        int vh, int vw, int oc, int32_t* labels, int num_threads) {
+  return mis_fetch_views_impl(store, indices, n, params, views, out,
+                              vh, vw, oc, labels, num_threads);
 }
 
 }  // extern "C"

@@ -81,7 +81,7 @@ def make_view_params(
 
 
 def crop_resize_bilinear_np(
-    img: np.ndarray,  # (H, W, C) uint8
+    img: np.ndarray,  # (H, W, C) uint8 or uint16
     y0: float,
     x0: float,
     ch: float,
@@ -95,8 +95,8 @@ def crop_resize_bilinear_np(
     Same half-pixel convention as the device resampler
     (ops/augment.py::_resize_matrix): src = start + (i+0.5)*size/out - 0.5,
     clipped to [0, dim-1], 2-tap lerp; flips mirror the OUTPUT coordinate.
-    Rounds to nearest uint8. Used as the no-toolchain fallback and as the
-    parity reference in tests.
+    Rounds to nearest in the input dtype. Used as the no-toolchain fallback
+    and as the parity reference in tests.
     """
     sh, sw = img.shape[:2]
     i = np.arange(vh, dtype=np.float32)
@@ -117,20 +117,21 @@ def crop_resize_bilinear_np(
     top = a + (b - a) * xf
     bot = c + (d - c) * xf
     out = top + (bot - top) * yf
-    return (out + 0.5).astype(np.uint8)
+    return (out + 0.5).astype(img.dtype)
 
 
 def fetch_views_fallback(reader, indices, params, out_hw):
     """StoreReader-backed pure-Python fetch_views (no native toolchain).
 
-    Same output layout as NativeStore.fetch_views: (B*V, vh, vw, C) uint8
-    SAMPLE-major (view v of sample i at row i*V + v) + (B,) int32 labels.
+    Same output layout as NativeStore.fetch_views: (B*V, vh, vw, C) in the
+    store's sample dtype, SAMPLE-major (view v of sample i at row i*V + v)
+    + (B,) int32 labels.
     """
     n = len(indices)
     views = params.shape[1]
     vh, vw = out_hw
     c = reader.header.channels
-    out = np.empty((n * views, vh, vw, c), np.uint8)
+    out = np.empty((n * views, vh, vw, c), reader.header.sample_dtype)
     labels = np.empty((n,), np.int32)
     for i, idx in enumerate(indices):
         img, lab = reader[int(idx)]

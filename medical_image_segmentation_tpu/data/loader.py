@@ -200,6 +200,10 @@ class Loader:
         shape = self._native.shape if self._native else (
             self._reader.header.height, self._reader.header.width, self._reader.header.channels
         )
+        # sample dtype from the store header (uint8, or uint16 for FLAG_U16
+        # stores — the HU-native path); batches come out in this dtype
+        self.dtype = (self._native.dtype if self._native
+                      else np.dtype(self._reader.header.sample_dtype))
         self.out_hw = out_hw or shape[:2]
         self.channels = shape[2]
         self._n_total = self._native.num_samples if self._native else len(self._reader)
@@ -238,7 +242,7 @@ class Loader:
         if self._native is not None:
             return self._native.fetch(idxs, out_hw=self.out_hw, num_threads=self.num_threads)
         oh, ow = self.out_hw
-        imgs = np.empty((len(idxs), oh, ow, self.channels), np.uint8)
+        imgs = np.empty((len(idxs), oh, ow, self.channels), self.dtype)
         labels = np.empty((len(idxs),), np.int32)
         for j, i in enumerate(idxs):
             img, lab = self._reader[int(i)]

@@ -2,6 +2,8 @@ from medical_image_segmentation_tpu.data.store.format import (
     CODEC_RAW,
     CODEC_JPEG,
     CODEC_PNG,
+    CODEC_JLS,
+    FLAG_U16,
     StoreHeader,
     SampleRecord,
 )
@@ -12,6 +14,8 @@ __all__ = [
     "CODEC_RAW",
     "CODEC_JPEG",
     "CODEC_PNG",
+    "CODEC_JLS",
+    "FLAG_U16",
     "StoreHeader",
     "SampleRecord",
     "StoreWriter",

@@ -19,12 +19,24 @@ loader:
 Like FFCV, images may be stored raw (uint8, zero-decode) or JPEG/PNG
 compressed (smaller, decode on load) — per sample, so a writer can compress
 large images and keep small ones raw (FFCV's RGBImageField behavior).
+
+16-bit stores (header flag ``FLAG_U16``): samples are uint16 — the native
+bit depth of CT/MR DICOM pixel data. The reference's FFCV path squashes to
+uint8 RGB at dataset-build time (`create_ffcv_subset.py:36-65`), losing the
+HU dynamic range that window/level augmentation operates on; a u16 store
+preserves it end-to-end (decode → device → Pallas/XLA windowing). u16
+stores are single-channel (radiology grayscale); valid codecs are RAW
+(little-endian uint16), PNG (16-bit grayscale), and JLS (our from-scratch
+ITU-T T.87 JPEG-LS codec — the DICOM-native lossless codec for exactly
+this data, `data/jpegls.py` + `csrc/jpegls_codec.cpp`).
 """
 
 from __future__ import annotations
 
 import struct
 from dataclasses import dataclass
+
+import numpy as np
 
 MAGIC = b"MISTORE1"
 VERSION = 1
@@ -35,9 +47,13 @@ ALIGN = 64
 CODEC_RAW = 0
 CODEC_JPEG = 1
 CODEC_PNG = 2
+CODEC_JLS = 3
 
 LABEL_NONE = 0
 LABEL_INT32 = 1
+
+# header flags
+FLAG_U16 = 1  # samples are uint16 (little-endian); header/records otherwise identical
 
 _HEADER_FMT = "<8sIIQHHBBBB"  # magic, version, flags, n, h, w, c, codec, label_dtype, pad
 _RECORD_FMT = "<QQHHBBhi4x"   # offset, length, h, w, c, codec, pad, label, 4 reserved
@@ -51,11 +67,16 @@ class StoreHeader:
     channels: int
     default_codec: int = CODEC_RAW
     label_dtype: int = LABEL_NONE
+    flags: int = 0
+
+    @property
+    def sample_dtype(self):
+        return np.uint16 if self.flags & FLAG_U16 else np.uint8
 
     def pack(self) -> bytes:
         body = struct.pack(
             _HEADER_FMT,
-            MAGIC, VERSION, 0, self.num_samples,
+            MAGIC, VERSION, self.flags, self.num_samples,
             self.height, self.width, self.channels,
             self.default_codec, self.label_dtype, 0,
         )
@@ -63,15 +84,17 @@ class StoreHeader:
 
     @classmethod
     def unpack(cls, raw: bytes) -> "StoreHeader":
-        magic, version, _flags, n, h, w, c, codec, label_dtype, _ = struct.unpack(
+        magic, version, flags, n, h, w, c, codec, label_dtype, _ = struct.unpack(
             _HEADER_FMT, raw[: struct.calcsize(_HEADER_FMT)]
         )
         if magic != MAGIC:
             raise ValueError(f"not a MIS store (magic={magic!r})")
         if version != VERSION:
             raise ValueError(f"unsupported store version {version}")
+        if flags & ~FLAG_U16:
+            raise ValueError(f"unknown store flags {flags:#x}")
         return cls(num_samples=n, height=h, width=w, channels=c,
-                   default_codec=codec, label_dtype=label_dtype)
+                   default_codec=codec, label_dtype=label_dtype, flags=flags)
 
 
 @dataclass

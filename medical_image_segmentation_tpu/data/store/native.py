@@ -95,6 +95,26 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
         ]
+        # uint16-store variants (header FLAG_U16): same contracts, u16 buffers
+        lib.mis_sample_u16.restype = ctypes.c_int
+        lib.mis_sample_u16.argtypes = [ctypes.c_void_p]
+        lib.mis_fetch_u16.restype = ctypes.c_int
+        lib.mis_fetch_u16.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ]
+        lib.mis_fetch_views_u16.restype = ctypes.c_int
+        lib.mis_fetch_views_u16.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ]
         # compressed-DICOM codecs (csrc/dicom_codecs.cpp)
         lib.jls_probe.restype = ctypes.c_int
         lib.jls_probe.argtypes = [
@@ -153,6 +173,7 @@ class NativeStore:
         lib.mis_shape(self._handle, ctypes.byref(h), ctypes.byref(w), ctypes.byref(c))
         self.shape = (h.value, w.value, c.value)
         self.num_samples = int(lib.mis_num_samples(self._handle))
+        self.dtype = np.dtype(np.uint16 if lib.mis_sample_u16(self._handle) else np.uint8)
 
     def fetch(
         self,
@@ -162,19 +183,26 @@ class NativeStore:
         out_hw: Optional[tuple] = None,
         num_threads: int = 4,
     ):
-        """Decode ``indices`` into (B, H, W, C) uint8 + (B,) int32 labels."""
+        """Decode ``indices`` into (B, H, W, C) samples (store dtype: uint8,
+        or uint16 for FLAG_U16 stores) + (B,) int32 labels."""
         indices = np.ascontiguousarray(indices, np.int64)
         n = len(indices)
         oh, ow = out_hw or self.shape[:2]
         oc = self.shape[2]
         if out is None:
-            out = np.empty((n, oh, ow, oc), np.uint8)
+            out = np.empty((n, oh, ow, oc), self.dtype)
         if labels is None:
             labels = np.empty((n,), np.int32)
-        rc = self._lib.mis_fetch(
+        if self.dtype == np.uint16:
+            fn = self._lib.mis_fetch_u16
+            out_ptr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
+        else:
+            fn = self._lib.mis_fetch
+            out_ptr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        rc = fn(
             self._handle,
             indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            out_ptr,
             oh, ow, oc,
             labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             num_threads,
@@ -212,14 +240,20 @@ class NativeStore:
         vh, vw = out_hw
         oc = self.shape[2]
         if out is None:
-            out = np.empty((n * views, vh, vw, oc), np.uint8)
+            out = np.empty((n * views, vh, vw, oc), self.dtype)
         if labels is None:
             labels = np.empty((n,), np.int32)
-        rc = self._lib.mis_fetch_views(
+        if self.dtype == np.uint16:
+            fn = self._lib.mis_fetch_views_u16
+            out_ptr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
+        else:
+            fn = self._lib.mis_fetch_views
+            out_ptr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        rc = fn(
             self._handle,
             indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
             params.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), views,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            out_ptr,
             vh, vw, oc,
             labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             num_threads,

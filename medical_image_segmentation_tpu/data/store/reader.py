@@ -14,6 +14,7 @@ from typing import Tuple
 import numpy as np
 
 from medical_image_segmentation_tpu.data.store.format import (
+    CODEC_JLS,
     CODEC_RAW,
     HEADER_SIZE,
     RECORD_SIZE,
@@ -52,15 +53,29 @@ class StoreReader:
 
     def image(self, i: int) -> np.ndarray:
         r = self.record(i)
-        buf = np.frombuffer(self._mm, np.uint8, r.length, r.offset)
+        dtype = self.header.sample_dtype
         if r.codec == CODEC_RAW:
-            img = buf.reshape(r.height, r.width, r.channels)
+            img = np.frombuffer(self._mm, np.dtype(dtype).newbyteorder("<"),
+                                r.height * r.width * r.channels, r.offset)
+            return img.astype(dtype, copy=False).reshape(r.height, r.width, r.channels)
+        if r.codec == CODEC_JLS:
+            from medical_image_segmentation_tpu.data.jpegls import jpeg_ls_decode
+
+            img = jpeg_ls_decode(self.payload(i))
+            if img.ndim == 2:
+                img = img[..., None]
+            if img.dtype != dtype:
+                raise ValueError(f"sample {i}: JLS precision mismatch "
+                                 f"({img.dtype} payload in a {np.dtype(dtype)} store)")
             return img
         import cv2
 
+        buf = np.frombuffer(self._mm, np.uint8, r.length, r.offset)
         img = cv2.imdecode(buf, cv2.IMREAD_UNCHANGED)
         if img is None:
             raise ValueError(f"decode failed for sample {i}")
+        if img.dtype != dtype:
+            raise ValueError(f"sample {i}: {img.dtype} payload in a {np.dtype(dtype)} store")
         if img.ndim == 2:
             img = img[..., None]
         if img.shape[-1] == 3:

@@ -16,8 +16,10 @@ import numpy as np
 
 from medical_image_segmentation_tpu.data.store.format import (
     ALIGN,
+    CODEC_JLS,
     CODEC_JPEG,
     CODEC_RAW,
+    FLAG_U16,
     HEADER_SIZE,
     LABEL_INT32,
     LABEL_NONE,
@@ -29,9 +31,22 @@ from medical_image_segmentation_tpu.data.store.format import (
 
 def _encode(img: np.ndarray, codec: int, quality: int) -> bytes:
     if codec == CODEC_RAW:
+        # on-disk byte order is little-endian (the C++ loader casts the mmap
+        # pointer); make it explicit for u16 so big-endian hosts interoperate
+        if img.dtype == np.uint16:
+            img = img.astype("<u2", copy=False)
         return np.ascontiguousarray(img).tobytes()
+    if codec == CODEC_JLS:
+        from medical_image_segmentation_tpu.data.jpegls import jpeg_ls_encode
+
+        # precision pinned by dtype (not by the sample's max value): the
+        # decoders derive the output dtype from the stream's precision, so
+        # a dark u16 slice must still round-trip as uint16
+        return jpeg_ls_encode(img, near=0, precision=16 if img.dtype == np.uint16 else 8)
     import cv2
 
+    if codec == CODEC_JPEG and img.dtype != np.uint8:
+        raise ValueError("JPEG store payloads are 8-bit; use PNG/JLS/RAW for uint16")
     # store payloads are RGB-ordered: cv2.imencode assumes BGR input, so
     # 3-channel images are swapped before encoding (the C++ loader decodes
     # with libjpeg/libpng straight to RGB; StoreReader swaps back after
@@ -61,12 +76,21 @@ def _maybe_resize(img: np.ndarray, max_resolution: Optional[int]) -> np.ndarray:
 
 class StoreWriter:
     """Streaming writer. Samples must share the channel count; per-sample
-    h/w may vary (the header records the max, sizing loader buffers)."""
+    h/w may vary (the header records the max, sizing loader buffers).
 
-    def __init__(self, path: str, channels: int, with_labels: bool = False):
+    ``dtype=np.uint16`` writes a 16-bit store (header ``FLAG_U16``) —
+    single-channel only, codecs RAW/PNG/JLS (see format.py)."""
+
+    def __init__(self, path: str, channels: int, with_labels: bool = False,
+                 dtype=np.uint8):
         self.path = path
         self.channels = channels
         self.with_labels = with_labels
+        self.dtype = np.dtype(dtype)
+        if self.dtype not in (np.dtype(np.uint8), np.dtype(np.uint16)):
+            raise ValueError(f"store dtype must be uint8 or uint16, got {self.dtype}")
+        if self.dtype == np.uint16 and channels != 1:
+            raise ValueError("uint16 stores are single-channel (radiology grayscale)")
         self.records = []
         self._tmp_data = open(path + ".data.tmp", "wb")
         self._data_pos = 0
@@ -78,8 +102,8 @@ class StoreWriter:
             img = img[..., None]
         if img.shape[-1] != self.channels:
             raise ValueError(f"expected {self.channels} channels, got {img.shape}")
-        if img.dtype != np.uint8:
-            raise ValueError(f"store holds uint8 images, got {img.dtype}")
+        if img.dtype != self.dtype:
+            raise ValueError(f"store holds {self.dtype} images, got {img.dtype}")
         payload = _encode(img if img.shape[-1] > 1 else img[..., 0], codec, quality)
         self.add_encoded(payload, img.shape[0], img.shape[1], label=label, codec=codec)
 
@@ -109,6 +133,7 @@ class StoreWriter:
             num_samples=n, height=self.max_h, width=self.max_w, channels=self.channels,
             default_codec=self.records[0].codec if n else CODEC_RAW,
             label_dtype=LABEL_INT32 if self.with_labels else LABEL_NONE,
+            flags=FLAG_U16 if self.dtype == np.uint16 else 0,
         )
         data_start = HEADER_SIZE + n * RECORD_SIZE
         data_start += (-data_start) % ALIGN
@@ -146,6 +171,7 @@ def _encode_chunk(chunk: Sequence[int]):
     codec = _WORKER_CTX["codec"]
     quality = _WORKER_CTX["quality"]
     channels = _WORKER_CTX["channels"]
+    dtype = _WORKER_CTX["dtype"]
     out = []
     for i in chunk:
         item = ds[i]
@@ -160,8 +186,8 @@ def _encode_chunk(chunk: Sequence[int]):
             img = img[..., None]
         if img.shape[-1] != channels:
             raise ValueError(f"expected {channels} channels, got {img.shape}")
-        if img.dtype != np.uint8:
-            raise ValueError(f"store holds uint8 images, got {img.dtype}")
+        if img.dtype != dtype:
+            raise ValueError(f"store holds {dtype} images, got {img.dtype}")
         payload = _encode(img if img.shape[-1] > 1 else img[..., 0], codec, quality)
         out.append((payload, img.shape[0], img.shape[1], int(label), labeled))
     return out
@@ -176,6 +202,7 @@ def write_store_from_dataset(
     quality: int = 90,
     num_processes: int = 1,
     indices: Optional[Sequence[int]] = None,
+    dtype=np.uint8,
 ) -> int:
     """Build a store from an indexed dataset (the `DatasetWriter.
     from_indexed_dataset` equivalent). Returns the number of samples written.
@@ -193,7 +220,7 @@ def write_store_from_dataset(
         # on platforms without fork (or from a process where forking is
         # unsafe), degrade to the byte-identical serial path
         parallel = "fork" in multiprocessing.get_all_start_methods()
-    with StoreWriter(path, channels=channels, with_labels=True) as w:
+    with StoreWriter(path, channels=channels, with_labels=True, dtype=dtype) as w:
         if parallel:
             import concurrent.futures as cf
             import multiprocessing
@@ -201,6 +228,7 @@ def write_store_from_dataset(
             _WORKER_CTX.update(
                 dataset=dataset, max_resolution=max_resolution,
                 codec=codec, quality=quality, channels=channels,
+                dtype=np.dtype(dtype),
             )
             try:
                 chunk_size = max(1, min(64, len(idxs) // (num_processes * 4) or 1))

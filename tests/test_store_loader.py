@@ -388,3 +388,110 @@ class TestRGBConvention:
                 px = out[i, 16, 16].astype(int)
                 assert abs(px[0] - 200) <= tol and abs(px[2] - 20) <= tol, \
                     f"native reader channel swap at sample {i}: {px}"
+
+
+class TestU16Store:
+    """16-bit (HU-native) stores — header FLAG_U16, codecs RAW/PNG16/JLS.
+    The reference has no equivalent: its FFCV datasets are uint8 RGB only
+    (`create_ffcv_subset.py:36-65` squashes 16-bit DICOM pixels to uint8)."""
+
+    def _write_u16(self, path, n=9, h=40, w=48):
+        from medical_image_segmentation_tpu.data.store import CODEC_JLS
+
+        rng = np.random.default_rng(2)
+        imgs = rng.integers(0, 65536, size=(n, h, w), dtype=np.uint16)
+        codecs = [CODEC_RAW, CODEC_PNG, CODEC_JLS]
+        with StoreWriter(str(path), channels=1, with_labels=True,
+                         dtype=np.uint16) as wtr:
+            for i in range(n):
+                wtr.add(imgs[i], label=i, codec=codecs[i % 3])
+        return imgs
+
+    def test_python_roundtrip_all_codecs(self, tmp_path):
+        p = tmp_path / "u16.mis"
+        imgs = self._write_u16(p)
+        r = StoreReader(str(p))
+        assert r.header.sample_dtype == np.uint16
+        for i in range(len(imgs)):
+            got, label = r[i]
+            assert got.dtype == np.uint16
+            np.testing.assert_array_equal(got[..., 0], imgs[i])
+            assert label == i
+
+    def test_native_parity_all_codecs(self, tmp_path):
+        from medical_image_segmentation_tpu.data.store.native import NativeStore, get_lib
+
+        if get_lib() is None:
+            pytest.skip("native toolchain unavailable")
+        p = tmp_path / "u16.mis"
+        imgs = self._write_u16(p)
+        ns = NativeStore(str(p))
+        assert ns.dtype == np.uint16
+        out, labels = ns.fetch(np.arange(len(imgs), dtype=np.int64), num_threads=2)
+        assert out.dtype == np.uint16
+        np.testing.assert_array_equal(out[..., 0], imgs)
+        np.testing.assert_array_equal(labels, np.arange(len(imgs)))
+        ns.close()
+
+    def test_native_fetch_views_matches_numpy_oracle(self, tmp_path):
+        from medical_image_segmentation_tpu.data.host_precrop import (
+            crop_resize_bilinear_np,
+        )
+        from medical_image_segmentation_tpu.data.store.native import NativeStore, get_lib
+
+        if get_lib() is None:
+            pytest.skip("native toolchain unavailable")
+        p = tmp_path / "u16.mis"
+        imgs = self._write_u16(p, n=3)
+        params = np.array(
+            [[[3.2, 4.1, 30.0, 35.0, 0.0], [0.0, 0.0, 40.0, 48.0, 1.0]]] * 3,
+            np.float32)
+        ns = NativeStore(str(p))
+        views, _ = ns.fetch_views(np.arange(3, dtype=np.int64), params, (16, 16),
+                                  num_threads=1)
+        assert views.dtype == np.uint16
+        for i in range(3):
+            for v in range(2):
+                y0, x0, ch, cw, flip = params[i, v]
+                ref = crop_resize_bilinear_np(
+                    imgs[i][..., None], float(y0), float(x0), float(ch),
+                    float(cw), bool(flip), 16, 16)
+                np.testing.assert_array_equal(views[i * 2 + v], ref)
+        ns.close()
+
+    def test_dtype_mismatch_rejected(self, tmp_path):
+        """add() of the wrong dtype fails at write; u16 payloads cannot be
+        JPEG-coded (8-bit codec)."""
+        from medical_image_segmentation_tpu.data.store import CODEC_JLS
+
+        rng = np.random.default_rng(3)
+        img16 = rng.integers(0, 65536, size=(8, 8), dtype=np.uint16)
+        with pytest.raises(ValueError):
+            with StoreWriter(str(tmp_path / "a.mis"), channels=1) as w:
+                w.add(img16)  # u16 image into a u8 store
+        with pytest.raises(ValueError):
+            with StoreWriter(str(tmp_path / "b.mis"), channels=1,
+                             dtype=np.uint16) as w:
+                w.add(img16, codec=CODEC_JPEG)
+        with pytest.raises(ValueError):
+            StoreWriter(str(tmp_path / "c.mis"), channels=3, dtype=np.uint16)
+        # JLS precision is pinned by dtype: a dark u16 slice (max < 256)
+        # must still round-trip as uint16
+        dark = (img16 % 200).astype(np.uint16)
+        with StoreWriter(str(tmp_path / "d.mis"), channels=1,
+                         dtype=np.uint16) as w:
+            w.add(dark, codec=CODEC_JLS)
+        r = StoreReader(str(tmp_path / "d.mis"))
+        got = r[0][0]
+        assert got.dtype == np.uint16
+        np.testing.assert_array_equal(got[..., 0], dark)
+
+    def test_loader_end_to_end_u16(self, tmp_path):
+        p = tmp_path / "u16.mis"
+        imgs = self._write_u16(p)
+        ld = Loader(str(p), batch_size=4, order=SEQUENTIAL, prefetch=0)
+        assert ld.dtype == np.uint16
+        batches = list(ld)
+        assert batches[0][0].dtype == np.uint16
+        np.testing.assert_array_equal(batches[0][0][..., 0], imgs[:4])
+        ld.close()
