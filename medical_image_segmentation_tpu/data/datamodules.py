@@ -63,6 +63,11 @@ class SSLDataModule:
     # random CT re-windowing probability (PAPERS.md CT-augmentation recipes;
     # 0 = reference parity)
     window_prob: float = 0.0
+    # full-scale sample value: 255 for uint8 stores, 65535 for 16-bit
+    # (FLAG_U16) stores. Stats above must be on the SAME scale; the canonical
+    # ViewConfig thresholds/ranges (defined on 0-255) are rescaled in
+    # view_configs so augmentation semantics are identical at either depth.
+    value_max: float = 255.0
 
     def view_configs(self) -> Tuple[ViewConfig, ViewConfig]:
         from medical_image_segmentation_tpu.ops.augment import BYOL_TV_VIEW1, BYOL_TV_VIEW2
@@ -74,10 +79,18 @@ class SSLDataModule:
         else:
             raise ValueError(f"unknown aug_recipe {self.aug_recipe!r} (ffcv|torchvision)")
         size = (self.crop_size, self.crop_size)
-        return (
-            dataclasses.replace(v1, out_size=size, window_prob=self.window_prob),
-            dataclasses.replace(v2, out_size=size, window_prob=self.window_prob),
-        )
+        s = self.value_max / 255.0
+
+        def adapt(v: ViewConfig) -> ViewConfig:
+            return dataclasses.replace(
+                v, out_size=size, window_prob=self.window_prob,
+                value_max=self.value_max,
+                solarize_threshold=v.solarize_threshold * s,
+                window_level_range=tuple(x * s for x in v.window_level_range),
+                window_width_range=tuple(x * s for x in v.window_width_range),
+            )
+
+        return adapt(v1), adapt(v2)
 
     def train_loader(self, batch_size: int, num_threads: int = 8, seed: int = 0,
                      shard: Tuple[int, int] = (0, 1), distributed: bool = False,
@@ -114,6 +127,30 @@ class Radiology1MDataModule(SSLDataModule):
         kw.setdefault("has_train_labels", False)
         kw.setdefault("train_store", _env("RADIOLOGY_1M_TRAIN_STORE", "data/stores/radiology_1M_train.mis"))
         kw.setdefault("val_store", _env("RADIOLOGY_1M_VAL_STORE", "data/stores/nih_chest_xray_test.mis"))
+        super().__init__(**kw)
+
+
+@register_datamodule("RADIOLOGY_1M_U16")
+class Radiology1MU16DataModule(SSLDataModule):
+    """16-bit (HU-native) curated TCIA subset — the depth the reference
+    throws away (`create_ffcv_subset.py:36-65` squashes DICOM pixels to
+    uint8 before FFCV). Backed by a FLAG_U16 MIS store
+    (`ingest/create_store.py --bit_depth 16`); window/level augmentation
+    operates on the full 16-bit intensity range. Default stats are the
+    8-bit reference constants scaled to the 16-bit range (×65535/255);
+    recompute exactly with `ingest/compute_stats.py` on the built store."""
+
+    def __init__(self, **kw):
+        kw.setdefault("has_train_labels", False)
+        kw.setdefault("value_max", 65535.0)
+        kw.setdefault("train_mean", (57.9764 * 257.0,))
+        kw.setdefault("train_std", (60.4759 * 257.0,))
+        kw.setdefault("val_mean", (126.57 * 257.0,))
+        kw.setdefault("val_std", (63.46 * 257.0,))
+        kw.setdefault("train_store", _env("RADIOLOGY_1M_U16_TRAIN_STORE",
+                                          "data/stores/radiology_1M_u16_train.mis"))
+        kw.setdefault("val_store", _env("RADIOLOGY_1M_U16_VAL_STORE",
+                                        "data/stores/nih_chest_xray_u16_test.mis"))
         super().__init__(**kw)
 
 

@@ -26,12 +26,16 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 from medical_image_segmentation_tpu.data import dicom
-from medical_image_segmentation_tpu.data.store import CODEC_JPEG, CODEC_RAW, StoreWriter
+from medical_image_segmentation_tpu.data.store import CODEC_JLS, CODEC_JPEG, CODEC_RAW, StoreWriter
 
 
-def dicom_to_uint8(path: str, max_resolution: Optional[int]) -> np.ndarray:
-    """The reference's exact decode→normalize→BICUBIC→renormalize→uint8
-    sequence (`create_ffcv_subset.py:41-62`). Returns (H, W, 1) uint8."""
+def dicom_to_uint(path: str, max_resolution: Optional[int], bit_depth: int = 8) -> np.ndarray:
+    """The reference's exact decode→normalize→BICUBIC→renormalize sequence
+    (`create_ffcv_subset.py:41-62`), quantized to ``bit_depth`` (8 → uint8
+    parity with the reference's FFCV build; 16 → uint16, preserving the
+    dynamic range the reference throws away — pairs with FLAG_U16 stores
+    and the write_subset 16-bit PNG semantics, `create_subset.py:205-211`).
+    Returns (H, W, 1)."""
     from PIL import Image
 
     arr = dicom.read_dicom(path).pixel_array
@@ -52,17 +56,24 @@ def dicom_to_uint8(path: str, max_resolution: Optional[int]) -> np.ndarray:
     lo, hi = float(arr.min()), float(arr.max())
     if hi > lo:
         arr = (arr - lo) / (hi - lo)
+    if bit_depth == 16:
+        return (arr * 65535.0).astype(np.uint16)[..., None]
     return (arr * 255.0).astype(np.uint8)[..., None]
 
 
-def _encode_dicom_worker(path: str, max_resolution: Optional[int], codec: int, quality: int):
+def dicom_to_uint8(path: str, max_resolution: Optional[int]) -> np.ndarray:
+    return dicom_to_uint(path, max_resolution, 8)
+
+
+def _encode_dicom_worker(path: str, max_resolution: Optional[int], codec: int,
+                         quality: int, bit_depth: int = 8):
     """Pool worker: decode + resize + compress one DICOM; per-file errors
     become statuses, not crashes (reference fault tolerance,
     `create_subset.py:197-241`). Returns (payload, h, w, error)."""
     from medical_image_segmentation_tpu.data.store.writer import _encode
 
     try:
-        img = dicom_to_uint8(path, max_resolution)
+        img = dicom_to_uint(path, max_resolution, bit_depth)
         payload = _encode(img[..., 0], codec, quality)
         return payload, img.shape[0], img.shape[1], None
     except Exception as e:
@@ -76,19 +87,21 @@ def build_store(
     codec: int = CODEC_JPEG,
     quality: int = 90,
     num_workers: int = 1,
+    bit_depth: int = 8,
 ) -> int:
     """``num_workers > 1`` runs decode→resize→compress in a worker pool; the
     parent assembles records in path order, so the output is byte-identical
     to the serial build (the `DatasetWriter(num_workers)` role,
     reference `create_ffcv_subset.py:100-104`)."""
     n_ok = 0
-    with StoreWriter(output, channels=1, with_labels=False) as w:
+    with StoreWriter(output, channels=1, with_labels=False,
+                     dtype=np.uint16 if bit_depth == 16 else np.uint8) as w:
         if num_workers > 1:
             import concurrent.futures as cf
             from functools import partial
 
             fn = partial(_encode_dicom_worker, max_resolution=max_resolution,
-                         codec=codec, quality=quality)
+                         codec=codec, quality=quality, bit_depth=bit_depth)
             with cf.ProcessPoolExecutor(max_workers=num_workers) as pool:
                 for p, (payload, h, wd, err) in zip(
                     paths, pool.map(fn, paths, chunksize=16)
@@ -102,7 +115,8 @@ def build_store(
                         print(f"\r{n_ok}/{len(paths)}", end="", file=sys.stderr)
         else:
             for p in paths:
-                payload, h, wd, err = _encode_dicom_worker(p, max_resolution, codec, quality)
+                payload, h, wd, err = _encode_dicom_worker(p, max_resolution, codec,
+                                                           quality, bit_depth)
                 if err is not None:
                     print(f"skip {p}: {err}", file=sys.stderr)
                     continue
@@ -121,10 +135,13 @@ def pngdir_to_store(
     codec: int = CODEC_JPEG,
     quality: int = 90,
     limit: Optional[int] = None,
+    bit_depth: int = 8,
 ) -> int:
-    """Convert a curated PNG subset (16-bit grayscale) to a store,
-    applying the reference's uint16→uint8 `(image/256)` conversion
-    (`pytorch_datasets.py:120-144`)."""
+    """Convert a curated PNG subset (16-bit grayscale) to a store. At
+    ``bit_depth=8`` applies the reference's uint16→uint8 `(image/256)`
+    conversion (`pytorch_datasets.py:120-144`); at 16 the curated PNGs'
+    full 16-bit range (write_subset stores min-maxed uint16,
+    `create_subset.py:205-211`) is preserved into a FLAG_U16 store."""
     import cv2
 
     paths: List[str] = []
@@ -135,16 +152,20 @@ def pngdir_to_store(
     if limit:
         paths = paths[:limit]
     n_ok = 0
-    with StoreWriter(output, channels=1, with_labels=False) as w:
+    with StoreWriter(output, channels=1, with_labels=False,
+                     dtype=np.uint16 if bit_depth == 16 else np.uint8) as w:
         for p in paths:
             img = cv2.imread(p, cv2.IMREAD_UNCHANGED)
             if img is None:
                 print(f"skip unreadable {p}", file=sys.stderr)
                 continue
-            if img.dtype == np.uint16:
-                img = (img / 256).astype(np.uint8)
             if img.ndim == 3:
                 img = img[..., 0]
+            if bit_depth == 16:
+                if img.dtype == np.uint8:
+                    img = img.astype(np.uint16) * 257  # 0-255 → 0-65535 exactly
+            elif img.dtype == np.uint16:
+                img = (img / 256).astype(np.uint8)
             if max_resolution is not None and max(img.shape) > max_resolution:
                 scale = max_resolution / max(img.shape)
                 img = cv2.resize(img, (int(round(img.shape[1] * scale)), int(round(img.shape[0] * scale))),
@@ -162,18 +183,26 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     ap.add_argument("--png_dir", default=None, help="curated 16-bit PNG subset directory")
     ap.add_argument("--output", required=True)
     ap.add_argument("--max_resolution", type=int, default=224)
-    ap.add_argument("--raw", action="store_true", help="store raw uint8 instead of JPEG")
+    ap.add_argument("--raw", action="store_true", help="store raw samples instead of compressed")
     ap.add_argument("--jpeg_quality", type=int, default=90)
+    ap.add_argument("--bit_depth", type=int, default=8, choices=(8, 16),
+                    help="8 = reference-parity uint8 store (JPEG); 16 = HU-native "
+                         "uint16 FLAG_U16 store (JPEG-LS lossless) preserving the "
+                         "dynamic range the reference squashes away")
     ap.add_argument("--test", action="store_true", help="100-image smoke mode")
     ap.add_argument("--num_workers", type=int,
                     default=int(os.environ.get("SLURM_CPUS_PER_TASK", os.cpu_count() or 1)),
                     help="parallel decode/encode workers")
     args = ap.parse_args(argv)
 
-    codec = CODEC_RAW if args.raw else CODEC_JPEG
+    if args.bit_depth == 16:
+        codec = CODEC_RAW if args.raw else CODEC_JLS  # JPEG is 8-bit-only
+    else:
+        codec = CODEC_RAW if args.raw else CODEC_JPEG
     if args.png_dir:
         pngdir_to_store(args.png_dir, args.output, args.max_resolution, codec,
-                        args.jpeg_quality, limit=100 if args.test else None)
+                        args.jpeg_quality, limit=100 if args.test else None,
+                        bit_depth=args.bit_depth)
         return 0
     if args.subset_map:
         with open(args.subset_map) as f:
@@ -187,7 +216,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     if args.test:
         paths = paths[:100]
     build_store(paths, args.output, args.max_resolution, codec, args.jpeg_quality,
-                num_workers=args.num_workers)
+                num_workers=args.num_workers, bit_depth=args.bit_depth)
     return 0
 
 

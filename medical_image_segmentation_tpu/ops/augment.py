@@ -155,6 +155,13 @@ class ViewConfig:
     window_prob: float = 0.0
     window_level_range: Tuple[float, float] = (96.0, 160.0)
     window_width_range: Tuple[float, float] = (128.0, 255.0)
+    # full-scale sample value: 255 for uint8 stores, 65535 for 16-bit
+    # (FLAG_U16) stores — the HU-native path the reference cannot express
+    # (its FFCV data is squashed to uint8 at build time). Scales the
+    # windowing output range, the solarize reflection, and the jitter clip;
+    # thresholds/ranges in this config are on the SAME scale (the
+    # datamodule rescales them, datamodules.py::view_configs).
+    value_max: float = 255.0
 
 
 # Canonical two-view configs (BYOL asymmetry: solarize only on view 2,
@@ -241,7 +248,7 @@ def _elementwise_tail(keys, x, cfg: ViewConfig, mean, std, dtype) -> jax.Array:
             f = jax.random.uniform(jk[3], (b, 1, 1, 1), minval=1 - cfg.saturation, maxval=1 + cfg.saturation)
             gray = jnp.sum(x * jnp.asarray([0.299, 0.587, 0.114]), axis=-1, keepdims=True)
             x = jnp.where(on > 0, gray + f * (x - gray), x)
-        x = jnp.clip(x, 0.0, 255.0)
+        x = jnp.clip(x, 0.0, cfg.value_max)
 
     if cfg.grayscale_prob > 0.0 and c == 3:
         coin = jax.random.uniform(keys[1], (b, 1, 1, 1)) < cfg.grayscale_prob
@@ -256,12 +263,12 @@ def _elementwise_tail(keys, x, cfg: ViewConfig, mean, std, dtype) -> jax.Array:
         width = jax.random.uniform(wk3, (b, 1, 1, 1), minval=cfg.window_width_range[0],
                                    maxval=cfg.window_width_range[1])
         lo = level - width / 2.0
-        rewin = jnp.clip((x - lo) / width * 255.0, 0.0, 255.0)
+        rewin = jnp.clip((x - lo) / width * cfg.value_max, 0.0, cfg.value_max)
         x = jnp.where(on, rewin, x)
 
     if cfg.solarize_prob > 0.0:
         coin = jax.random.uniform(keys[2], (b, 1, 1, 1)) < cfg.solarize_prob
-        x = jnp.where(coin & (x >= cfg.solarize_threshold), 255.0 - x, x)
+        x = jnp.where(coin & (x >= cfg.solarize_threshold), cfg.value_max - x, x)
 
     mean_a = jnp.asarray(mean, jnp.float32).reshape(1, 1, 1, -1)
     std_a = jnp.asarray(std, jnp.float32).reshape(1, 1, 1, -1)

@@ -62,7 +62,7 @@ def _interp_rows(start, size, in_dim: int, out_dim: int, flip, mirror: bool):
 
 
 def _augment_kernel(params_ref, img_ref, v1_ref, v2_ref, *, channels, in_h, in_w,
-                    out_h, out_w, mean, std):
+                    out_h, out_w, mean, std, vmax):
     # Mosaic has no direct uint8→f32 cast; hop through int32
     for view, out_ref in ((0, v1_ref), (1, v2_ref)):
         base = view * _PARAMS_PER_VIEW
@@ -96,13 +96,13 @@ def _augment_kernel(params_ref, img_ref, v1_ref, v2_ref, *, channels, in_h, in_w
         # window lo and inverse width are per-sample scalars; hoist out of
         # the channel loop (division is VPU-expensive)
         wlo = level - width * 0.5
-        wscale = 255.0 / width
+        wscale = vmax / width
         for c in range(channels):
             out = outs[c]
             # random CT window (XLA path ops/augment.py:240-249)
-            rewin = jnp.clip((out - wlo) * wscale, 0.0, 255.0)
+            rewin = jnp.clip((out - wlo) * wscale, 0.0, vmax)
             out = jnp.where(win > 0.5, rewin, out)
-            out = jnp.where((sol > 0.5) & (out >= thresh), 255.0 - out, out)
+            out = jnp.where((sol > 0.5) & (out >= thresh), vmax - out, out)
             out_ref[0, c] = ((out - mean[c]) / std[c]).astype(out_ref.dtype)
 
 
@@ -138,6 +138,7 @@ _IMPLEMENTED_FIELDS = {
     "solarize_prob", "solarize_threshold",
     "grayscale_prob",      # BT.601 mix on RGB; identity on 1-channel
     "window_prob", "window_level_range", "window_width_range",
+    "value_max",           # baked into the kernel's window/solarize scale
 }
 _PARAM_ONLY_FIELDS = {"blur_kernel"}
 _MUST_BE_ZERO = {"blur_prob", "jitter_prob", "brightness", "contrast",
@@ -192,6 +193,8 @@ def pallas_two_view_augment(
     oh2, ow2 = cfg2.out_size
     if (oh1, ow1) != (oh2, ow2):
         raise ValueError("both views must share out_size in the fused kernel")
+    if cfg1.value_max != cfg2.value_max:
+        raise ValueError("both views must share value_max in the fused kernel")
     # NHWC → NCHW so each channel plane is a contiguous (H, W) matmul
     # operand; one cheap uint8 transpose vs per-lane strided loads inside
     # the kernel.
@@ -202,6 +205,7 @@ def pallas_two_view_augment(
         _augment_kernel,
         channels=channels, in_h=in_h, in_w=in_w, out_h=oh1, out_w=ow1,
         mean=tuple(float(m) for m in mean), std=tuple(float(s) for s in std),
+        vmax=float(cfg1.value_max),
     )
     v1, v2 = pl.pallas_call(
         kernel,

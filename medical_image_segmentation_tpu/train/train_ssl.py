@@ -257,6 +257,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         jax.default_backend() == "tpu"
         and pallas_supported(cfg1, dm.channels)
         and pallas_supported(cfg2, dm.channels)
+        # u16 (FLAG_U16) stores take the XLA matmul path until the kernel's
+        # uint16 load path is validated on real TPU hardware (interpret-mode
+        # parity is pinned in tests/test_pallas_augment.py) — fail safe
+        and train_loader.dtype == np.uint8
     )
 
     has_labels = getattr(dm, "has_train_labels", True)

@@ -25,9 +25,10 @@ from medical_image_segmentation_tpu.ops.pallas_augment import (
 _LUMA = jnp.asarray([0.299, 0.587, 0.114])
 
 
-def _reference_views(params, images, out_hw, mean, std):
+def _reference_views(params, images, out_hw, mean, std, vmax=255.0):
     """Reference math using the XLA-path primitives with the SAME params.
-    ``images`` is (B, H, W, C); mean/std are (C,) arrays (0-255 scale)."""
+    ``images`` is (B, H, W, C); mean/std are (C,) arrays on the sample
+    scale (0-255, or 0-65535 for u16 stores)."""
     b, in_h, in_w, c = images.shape
     oh, ow = out_hw
     outs = []
@@ -48,10 +49,10 @@ def _reference_views(params, images, out_hw, mean, std):
                           jnp.broadcast_to(luma, x.shape), x)
         lo = (level - width / 2.0)[:, None, None, None]
         w4 = width[:, None, None, None]
-        rewin = jnp.clip((x - lo) / w4 * 255.0, 0.0, 255.0)
+        rewin = jnp.clip((x - lo) / w4 * vmax, 0.0, vmax)
         x = jnp.where(win[:, None, None, None] > 0.5, rewin, x)
         thresh4 = thresh[:, None, None, None]
-        x = jnp.where((sol[:, None, None, None] > 0.5) & (x >= thresh4), 255.0 - x, x)
+        x = jnp.where((sol[:, None, None, None] > 0.5) & (x >= thresh4), vmax - x, x)
         outs.append((x - mean) / std)
     return outs
 
@@ -114,6 +115,54 @@ class TestPallasAugment:
         assert np.asarray(params[:, 7]).sum() > 0  # grayscale branch taken
         np.testing.assert_allclose(np.asarray(v1), np.asarray(r1), atol=1e-3)
         np.testing.assert_allclose(np.asarray(v2), np.asarray(r2), atol=1e-3)
+
+    def test_u16_matches_xla_reference(self):
+        """uint16 (HU-native) input: windowing/solarize on the 16-bit scale
+        must match the XLA-path math with the same params. Interpret mode —
+        the real-TPU u16 load path stays gated to XLA until chip-validated
+        (train_ssl.py use_pallas)."""
+        rng = np.random.default_rng(11)
+        images = jnp.asarray(rng.integers(0, 65536, size=(4, 48, 48)), jnp.uint16)
+        cfg = dataclasses.replace(
+            BYOL_VIEW1, out_size=(32, 32), solarize_prob=0.5,
+            solarize_threshold=128.0 * 257, window_prob=0.7,
+            window_level_range=(96.0 * 257, 160.0 * 257),
+            window_width_range=(128.0 * 257, 255.0 * 257),
+            value_max=65535.0)
+        key = jax.random.key(5)
+        params = sample_view_params(key, 4, 48, 48, cfg, cfg)
+        mean, std = (57.9764 * 257,), (60.4759 * 257,)
+        v1, v2 = pallas_two_view_augment(
+            key, images, cfg, cfg, mean=mean, std=std,
+            dtype=jnp.float32, interpret=True,
+        )
+        r1, r2 = _reference_views(params, images[..., None], (32, 32),
+                                  mean, std, vmax=65535.0)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(r1), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(r2), atol=1e-3)
+
+    def test_u16_scale_equivalence_xla_path(self):
+        """The full XLA pipeline on (x*257 as u16, stats*257, value_max=65535)
+        equals the u8 pipeline on x — augmentation semantics are depth-
+        invariant by construction (datamodules.py::view_configs scaling)."""
+        from medical_image_segmentation_tpu.ops.augment import two_view_augment
+
+        rng = np.random.default_rng(12)
+        img8 = rng.integers(0, 256, size=(4, 48, 48, 1))
+        img16 = (img8 * 257).astype(np.uint16)
+        cfg8 = dataclasses.replace(
+            BYOL_VIEW2, out_size=(32, 32), window_prob=0.5)
+        cfg16 = dataclasses.replace(
+            cfg8, value_max=65535.0, solarize_threshold=cfg8.solarize_threshold * 257,
+            window_level_range=tuple(x * 257 for x in cfg8.window_level_range),
+            window_width_range=tuple(x * 257 for x in cfg8.window_width_range))
+        key = jax.random.key(7)
+        v8 = two_view_augment(key, jnp.asarray(img8, jnp.uint8), cfg8, cfg8,
+                              mean=(60.0,), std=(50.0,), dtype=jnp.float32)
+        v16 = two_view_augment(key, jnp.asarray(img16), cfg16, cfg16,
+                               mean=(60.0 * 257,), std=(50.0 * 257,), dtype=jnp.float32)
+        for a, b in zip(v8, v16):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
 
     def test_flip_actually_flips(self):
         rng = np.random.default_rng(1)

@@ -495,3 +495,48 @@ class TestU16Store:
         assert batches[0][0].dtype == np.uint16
         np.testing.assert_array_equal(batches[0][0][..., 0], imgs[:4])
         ld.close()
+
+    def test_create_store_bit_depth_16(self, tmp_path):
+        """`create_store --bit_depth 16` builds a FLAG_U16 JLS store from
+        DICOMs and from a curated 16-bit PNG dir; the DICOM path preserves
+        the full normalize→BICUBIC→renormalize output at 16-bit scale."""
+        import cv2
+
+        from medical_image_segmentation_tpu.data.dicom import write_dicom
+        from medical_image_segmentation_tpu.data.ingest import create_store
+
+        rng = np.random.default_rng(4)
+        dcm_dir = tmp_path / "dcm"
+        dcm_dir.mkdir()
+        arrs = []
+        for i in range(3):
+            a = rng.integers(0, 4096, size=(64, 64)).astype(np.uint16)
+            arrs.append(a)
+            write_dicom(str(dcm_dir / f"{i}.dcm"), a)
+        out = str(tmp_path / "u16.mis")
+        assert create_store.main(["--dicom_dir", str(dcm_dir), "--output", out,
+                                  "--max_resolution", "64", "--bit_depth", "16",
+                                  "--num_workers", "1"]) == 0
+        r = StoreReader(out)
+        assert r.header.sample_dtype == np.uint16
+        # scan order is not defined — match each stored image to its source
+        refs = []
+        for a in arrs:
+            a = a.astype(np.float32)
+            refs.append(((a - a.min()) / (a.max() - a.min()) * 65535.0).astype(np.uint16))
+        for i in range(len(arrs)):
+            got = r.image(i)[..., 0]
+            assert any(np.array_equal(got, ref) for ref in refs), \
+                f"store sample {i} matches no source DICOM"
+
+        # curated 16-bit PNG dir → u16 store, full range preserved (no /256)
+        png_dir = tmp_path / "png"
+        png_dir.mkdir()
+        img16 = rng.integers(0, 65536, size=(48, 48), dtype=np.uint16)
+        cv2.imwrite(str(png_dir / "a.png"), img16)
+        out2 = str(tmp_path / "png_u16.mis")
+        assert create_store.main(["--png_dir", str(png_dir), "--output", out2,
+                                  "--bit_depth", "16"]) == 0
+        r2 = StoreReader(out2)
+        assert r2.header.sample_dtype == np.uint16
+        np.testing.assert_array_equal(r2.image(0)[..., 0], img16)
