@@ -17,6 +17,13 @@
 //   jpegls_probe(data, size, &rows, &cols, &ncomp, &precision) -> 0 | err
 //   jpegls_decode(data, size, out_u16, out_capacity_elems)     -> 0 | err
 //     out layout: (rows, cols, ncomp) row-major, component-last.
+//   jpegls_encode(img_u16, rows, cols, ncomp, precision, near,
+//                 out, out_capacity, &out_size)                 -> 0 | err
+//     lossless/near-lossless encode, BIT-IDENTICAL to the Python encoder
+//     (data/jpegls.py::jpeg_ls_encode — same contexts/k/mapping/stuffing);
+//     the hot path for building 16-bit (FLAG_U16) MIS stores, where the
+//     pure-Python encoder is ~2 orders of magnitude too slow for the 1M
+//     ingest (BASELINE.md).
 
 #include <cstdint>
 #include <cstring>
@@ -407,6 +414,177 @@ static int parse_header(const uint8_t* data, int64_t n, Header* h) {
   return 14;  // missing SOF55/SOS
 }
 
+// ---------------------------------------------------------------------------
+// encoder — exact dual of decode_scan; mirrors data/jpegls.py::_encode_scan
+// so the two encoders emit identical bitstreams (tested)
+
+// MSB-first writer with the T.87 stuffing rule: after emitting an 0xFF byte
+// the next byte carries only 7 data bits (MSB forced 0).
+struct BitWriter {
+  std::vector<uint8_t> out;
+  uint32_t cur = 0;
+  int free_ = 8, cap = 8;
+
+  inline void write_bit(int bit) {
+    --free_;
+    cur |= uint32_t(bit & 1) << free_;
+    if (free_ == 0) {
+      out.push_back(uint8_t(cur));
+      cap = free_ = (cur == 0xFF) ? 7 : 8;
+      cur = 0;
+    }
+  }
+
+  inline void write(int64_t value, int nbits) {
+    for (int i = nbits - 1; i >= 0; --i) write_bit(int((value >> i) & 1));
+  }
+
+  void flush() {
+    if (free_ < cap) {
+      out.push_back(uint8_t(cur));
+      cur = 0;
+    } else if (cap == 7) {
+      // a dangling 0xFF needs its stuffed-0 byte so it can't pair with the
+      // following marker byte
+      out.push_back(0);
+    }
+    free_ = cap = 8;
+  }
+};
+
+static inline void golomb_encode(BitWriter& bw, int64_t value, int k,
+                                 int limit, int qbpp) {
+  int64_t high = value >> k;
+  if (high < limit - (qbpp + 1)) {
+    bw.write(1, int(high) + 1);  // `high` zeros then a 1
+    if (k) bw.write(value & ((int64_t(1) << k) - 1), k);
+  } else {
+    bw.write(1, limit - qbpp);  // limit-qbpp-1 zeros then a 1
+    bw.write((value - 1) & ((int64_t(1) << qbpp) - 1), qbpp);
+  }
+}
+
+// A.4.5 modulo reduction into [-range/2, ceil(range/2)-1]
+static inline int64_t mod_range(int64_t errval, int rng) {
+  if (errval < 0) errval += rng;
+  if (errval >= (rng + 1) / 2) errval -= rng;
+  return errval;
+}
+
+// Encode one component scan — mirror of decode_scan / Python _encode_scan.
+// img points at the component plane with `stride` elements per pixel.
+static void encode_scan(BitWriter& bw, const uint16_t* img, int rows, int cols,
+                        int stride, const Params& p) {
+  Contexts ctx(p);
+  std::vector<int> prev(cols, 0), prev2(cols, 0), cur(cols, 0);
+  int run_index = 0;
+  const int near_ = p.near_, maxval = p.maxval, range = p.range;
+
+  for (int y = 0; y < rows; ++y) {
+    const uint16_t* line = img + int64_t(y) * cols * stride;
+    int x = 0;
+    while (x < cols) {
+      int b = prev[x];
+      int d = (x + 1 < cols) ? prev[x + 1] : b;
+      int a, c;
+      if (x > 0) { a = cur[x - 1]; c = prev[x - 1]; }
+      else { a = b; c = (y >= 1) ? prev2[0] : 0; }
+      int d1 = d - b, d2 = b - c, d3 = c - a;
+      int ad1 = d1 < 0 ? -d1 : d1, ad2 = d2 < 0 ? -d2 : d2,
+          ad3 = d3 < 0 ? -d3 : d3;
+      if (ad1 <= near_ && ad2 <= near_ && ad3 <= near_) {
+        // ---- run mode (A.7) ----
+        const int runval = a;
+        const int start = x;
+        while (x < cols) {
+          int diff = int(line[int64_t(x) * stride]) - runval;
+          if ((diff < 0 ? -diff : diff) > near_) break;
+          cur[x] = runval;
+          ++x;
+        }
+        int run_length = x - start;
+        const bool eol = (x == cols);
+        while (run_length >= (1 << kJ[run_index])) {
+          bw.write_bit(1);
+          run_length -= 1 << kJ[run_index];
+          if (run_index < 31) ++run_index;
+        }
+        if (eol) {
+          if (run_length > 0) bw.write_bit(1);
+          continue;
+        }
+        bw.write_bit(0);
+        if (kJ[run_index] > 0) bw.write(run_length, kJ[run_index]);
+        // run interruption sample (A.7.2)
+        const int ix = int(line[int64_t(x) * stride]);
+        const int rb = prev[x];
+        const int ra = runval;
+        const int dr = ra - rb;
+        const int ritype = ((dr < 0 ? -dr : dr) <= near_) ? 1 : 0;
+        int64_t errval;
+        int s;
+        if (ritype) {
+          errval = ix - ra;
+          s = 1;
+        } else {
+          s = rb > ra ? 1 : -1;
+          errval = int64_t(ix - rb) * s;
+        }
+        if (near_ > 0) {
+          if (errval > 0) errval = (near_ + errval) / (2 * near_ + 1);
+          else errval = -((near_ - errval) / (2 * near_ + 1));
+        }
+        int rx;
+        if (ritype) rx = fix_reconstructed(ra + errval * (2 * near_ + 1), p);
+        else rx = fix_reconstructed(rb + s * errval * (2 * near_ + 1), p);
+        errval = mod_range(errval, range);
+        int err = 0;
+        const int k = ctx.k_run(ritype, &err);
+        // k growth is bounded for valid params; err can't fire on encode
+        int mp;
+        if (k == 0 && errval > 0 && 2 * ctx.Nn[ritype] < ctx.Nr[ritype]) mp = 1;
+        else if (errval < 0 && (2 * ctx.Nn[ritype] >= ctx.Nr[ritype] || k != 0)) mp = 1;
+        else mp = 0;
+        const int64_t emapped = 2 * (errval < 0 ? -errval : errval) - ritype - mp;
+        golomb_encode(bw, emapped, k, p.limit - kJ[run_index] - 1, p.qbpp);
+        ctx.update_run(ritype, errval, emapped);
+        cur[x] = rx;
+        ++x;
+        if (run_index > 0) --run_index;
+        continue;
+      }
+      // ---- regular mode (A.4–A.6) ----
+      int q1 = quantize_gradient(d1, p);
+      int q2 = quantize_gradient(d2, p);
+      int q3 = quantize_gradient(d3, p);
+      int q = 81 * q1 + 9 * q2 + q3;
+      const int sign = q < 0 ? -1 : 1;
+      if (q < 0) q = -q;
+      const int px = clampv(med(a, b, c) + sign * ctx.C[q], maxval);
+      const int ix = int(line[int64_t(x) * stride]);
+      int64_t errval = int64_t(ix - px) * sign;
+      if (near_ > 0) {
+        if (errval > 0) errval = (near_ + errval) / (2 * near_ + 1);
+        else errval = -((near_ - errval) / (2 * near_ + 1));
+      }
+      cur[x] = fix_reconstructed(px + sign * errval * (2 * near_ + 1), p);
+      errval = mod_range(errval, range);
+      int err = 0;
+      const int k = ctx.k_regular(q, &err);
+      int64_t merr;
+      if (k == 0 && near_ == 0 && 2 * ctx.B[q] <= -ctx.N[q])
+        merr = errval >= 0 ? 2 * errval + 1 : -2 * (errval + 1);
+      else
+        merr = errval >= 0 ? 2 * errval : -2 * errval - 1;
+      golomb_encode(bw, merr, k, p.limit, p.qbpp);
+      ctx.update_regular(q, errval);
+      ++x;
+    }
+    std::swap(prev2, prev);
+    std::swap(prev, cur);
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -462,6 +640,62 @@ int jpegls_decode(const uint8_t* data, int64_t size, uint16_t* out,
     sos_ilv = seg[2 + 2 * sos_ns];
     pos = nxt + 2 + seglen;
   }
+  return 0;
+}
+
+// Encode (rows, cols, ncomp) component-last uint16 samples → a complete
+// JPEG-LS stream (SOI/SOF55/per-component SOS+scan/EOI, ILV=0, default
+// thresholds) in `out`. Returns 0 and sets *out_size, or a nonzero error:
+// 30 bad dims, 31 bad precision/near, 32 sample exceeds precision,
+// 33 output buffer too small. Byte-identical to the Python encoder.
+int jpegls_encode(const uint16_t* img, int rows, int cols, int ncomp,
+                  int precision, int near, uint8_t* out, int64_t out_capacity,
+                  int64_t* out_size) {
+  if (rows <= 0 || cols <= 0 || rows >= (1 << 16) || cols >= (1 << 16) ||
+      ncomp < 1 || ncomp > 4)
+    return 30;
+  if (precision < 2 || precision > 16) return 31;
+  Params p;
+  if (make_params(precision, near, 0, 0, 0, 0, 0, &p) != 0) return 31;
+  const int64_t n = int64_t(rows) * cols * ncomp;
+  for (int64_t i = 0; i < n; ++i)
+    if (img[i] > p.maxval) return 32;
+
+  BitWriter bw;
+  // SOI + SOF55
+  bw.out.reserve(size_t(n / 2 + 64));
+  auto push16 = [&](int v) {
+    bw.out.push_back(uint8_t(v >> 8));
+    bw.out.push_back(uint8_t(v));
+  };
+  bw.out.push_back(0xFF); bw.out.push_back(kSOI);
+  bw.out.push_back(0xFF); bw.out.push_back(kSOF55);
+  push16(2 + 6 + 3 * ncomp);
+  bw.out.push_back(uint8_t(precision));
+  push16(rows);
+  push16(cols);
+  bw.out.push_back(uint8_t(ncomp));
+  for (int c = 0; c < ncomp; ++c) {
+    bw.out.push_back(uint8_t(c + 1));
+    bw.out.push_back(0x11);
+    bw.out.push_back(0);
+  }
+  for (int c = 0; c < ncomp; ++c) {
+    bw.out.push_back(0xFF); bw.out.push_back(kSOS);
+    push16(2 + 6);
+    bw.out.push_back(1);                 // Ns
+    bw.out.push_back(uint8_t(c + 1));    // component id
+    bw.out.push_back(0);                 // table selectors
+    bw.out.push_back(uint8_t(near));
+    bw.out.push_back(0);                 // ILV=0
+    bw.out.push_back(0);                 // point transform
+    encode_scan(bw, img + c, rows, cols, ncomp, p);
+    bw.flush();
+  }
+  bw.out.push_back(0xFF); bw.out.push_back(kEOI);
+  if (int64_t(bw.out.size()) > out_capacity) return 33;
+  memcpy(out, bw.out.data(), bw.out.size());
+  *out_size = int64_t(bw.out.size());
   return 0;
 }
 

@@ -637,11 +637,12 @@ def jpeg_ls_decode_py(data: bytes) -> np.ndarray:
     return np.stack(planes, axis=-1).astype(dtype)
 
 
-def jpeg_ls_encode(arr: np.ndarray, near: int = 0,
-                   precision: Optional[int] = None) -> bytes:
+def jpeg_ls_encode_py(arr: np.ndarray, near: int = 0,
+                      precision: Optional[int] = None) -> bytes:
     """Encode (rows, cols) or (rows, cols, ncomp) uint8/uint16 → JPEG-LS
-    bytes (ILV=0, default thresholds). Used to build test fixtures and by
-    ``write_dicom`` for compressed-syntax fixtures."""
+    bytes (ILV=0, default thresholds). Pure-Python reference; the C++ fast
+    path (csrc/jpegls_codec.cpp::jpegls_encode) emits bit-identical streams
+    (tested) and is what `jpeg_ls_encode` dispatches to."""
     arr = np.asarray(arr)
     if arr.ndim == 2:
         arr = arr[..., None]
@@ -673,6 +674,42 @@ def jpeg_ls_encode(arr: np.ndarray, near: int = 0,
         out += bw.flush()
     out += bytes([0xFF, _EOI])
     return bytes(out)
+
+
+def jpeg_ls_encode(arr: np.ndarray, near: int = 0,
+                   precision: Optional[int] = None) -> bytes:
+    """JPEG-LS encode: C++ fast path (csrc/jpegls_codec.cpp, ~95× the Python
+    encoder on CT-like 16-bit frames — the FLAG_U16 store-build hot path),
+    else the pure-Python reference. Both emit BIT-IDENTICAL streams
+    (pinned in tests/test_data_formats.py)."""
+    from medical_image_segmentation_tpu.data.store.native import get_lib
+
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "jpegls_encode"):
+        import ctypes
+
+        a = np.asarray(arr)
+        a3 = a[..., None] if a.ndim == 2 else a
+        if a3.ndim == 3 and a3.dtype in (np.dtype(np.uint8), np.dtype(np.uint16)):
+            rows, cols, ncomp = a3.shape
+            prec = precision
+            if prec is None:
+                prec = 8 if a3.dtype == np.uint8 else max(2, int(a3.max(initial=0)).bit_length())
+            a16 = np.ascontiguousarray(a3, np.uint16)
+            # worst case ≈ limit bits/sample ×8/7 stuffing; 10×+1KiB is ample
+            cap = a16.size * 10 + 1024
+            out = np.empty(cap, np.uint8)
+            size = ctypes.c_int64()
+            rc = lib.jpegls_encode(
+                a16.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                rows, cols, ncomp, int(prec), int(near),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+                ctypes.byref(size),
+            )
+            if rc == 0:
+                return out[: size.value].tobytes()
+            # rc != 0 → fall through for a precise CodecError
+    return jpeg_ls_encode_py(arr, near=near, precision=precision)
 
 
 def jpeg_ls_probe(data: bytes) -> Tuple[int, int, int, int, int]:

@@ -139,6 +139,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64,
         ]
+        lib.jpegls_encode.restype = ctypes.c_int
+        lib.jpegls_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         # JPEG 2000 T.800 codec (csrc/j2k_codec.cpp)
         lib.j2k_probe.restype = ctypes.c_int
         lib.j2k_probe.argtypes = [

@@ -602,6 +602,33 @@ class TestJPEGLS:
         blob = jpeg_ls_encode(arr, near=0, precision=prec)
         np.testing.assert_array_equal(jpeg_ls_decode(blob), arr)
 
+    def test_native_encoder_bit_identical_to_python(self):
+        """The C++ encoder (csrc/jpegls_codec.cpp::jpegls_encode — the
+        FLAG_U16 store-build hot path, ~95× the Python encoder) must emit
+        byte-identical streams to the pure-Python reference across regular,
+        run-heavy, near-lossless, and multi-component inputs."""
+        from medical_image_segmentation_tpu.data.jpegls import (
+            jpeg_ls_encode, jpeg_ls_encode_py)
+        from medical_image_segmentation_tpu.data.store.native import get_lib
+
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "jpegls_encode"):
+            pytest.skip("native toolchain unavailable")
+        rng = np.random.default_rng(6)
+        y, x = np.mgrid[0:40, 0:48]
+        cases = [
+            (rng.integers(0, 65536, size=(40, 48)).astype(np.uint16), 16, 0),
+            (rng.integers(0, 256, size=(33, 47)).astype(np.uint8), 8, 0),
+            ((20000 + 500 * (y // 8)).astype(np.uint16), 16, 0),   # long runs
+            (rng.integers(0, 4096, size=(30, 30)).astype(np.uint16), 12, 2),
+            (np.zeros((20, 30), np.uint16), 16, 0),
+            (rng.integers(0, 65536, size=(16, 16, 3)).astype(np.uint16), 16, 0),
+        ]
+        for arr, prec, near in cases:
+            a = jpeg_ls_encode(arr, near=near, precision=prec)       # native
+            b = jpeg_ls_encode_py(arr, near=near, precision=prec)    # oracle
+            assert a == b, f"streams differ for shape={arr.shape} prec={prec} near={near}"
+
     def test_roundtrip_smooth_image(self):
         """Gradient images exercise the run mode (T.87 A.7) heavily."""
         from medical_image_segmentation_tpu.data.jpegls import (

@@ -179,6 +179,7 @@ class _PyReader:
 
         class H:
             channels = imgs.shape[-1]
+            sample_dtype = imgs.dtype
 
         self.header = H()
 
