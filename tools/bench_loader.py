@@ -23,31 +23,41 @@ def main() -> int:
     ap.add_argument("--store", default=None, help="existing store (default: synthesize one)")
     ap.add_argument("--n_images", type=int, default=2048)
     ap.add_argument("--image_size", type=int, default=256)
-    ap.add_argument("--codec", default="jpeg", choices=["jpeg", "png", "raw"])
+    ap.add_argument("--codec", default="jpeg", choices=["jpeg", "png", "raw", "jls"])
+    ap.add_argument("--bit_depth", type=int, default=8, choices=(8, 16),
+                    help="16 = FLAG_U16 store (HU-native; codecs raw/png/jls)")
     ap.add_argument("--batch_size", type=int, default=256)
     ap.add_argument("--threads", type=int, nargs="+", default=[1, 2, 4, 8])
     args = ap.parse_args()
 
-    from medical_image_segmentation_tpu.data.store import CODEC_JPEG, CODEC_PNG, CODEC_RAW, StoreWriter
+    from medical_image_segmentation_tpu.data.store import (
+        CODEC_JLS, CODEC_JPEG, CODEC_PNG, CODEC_RAW, StoreWriter)
     from medical_image_segmentation_tpu.data.store.native import NativeStore
 
     store_path = args.store
     tmp = None
     if store_path is None:
-        codec = {"jpeg": CODEC_JPEG, "png": CODEC_PNG, "raw": CODEC_RAW}[args.codec]
+        codec = {"jpeg": CODEC_JPEG, "png": CODEC_PNG, "raw": CODEC_RAW,
+                 "jls": CODEC_JLS}[args.codec]
         tmp = tempfile.mkdtemp()
         store_path = os.path.join(tmp, "bench.mis")
         rng = np.random.default_rng(0)
-        with StoreWriter(store_path, channels=1) as w:
+        dtype = np.uint16 if args.bit_depth == 16 else np.uint8
+        hi = 65536 if args.bit_depth == 16 else 256
+        # CT-like content (smooth + noise) rather than pure noise: entropy
+        # codecs (JLS) are content-sensitive and medical frames are smooth
+        y, x = np.mgrid[0 : args.image_size, 0 : args.image_size]
+        base = 0.3 + 0.25 * np.sin(y / 30.0) * np.cos(x / 25.0)
+        with StoreWriter(store_path, channels=1, dtype=dtype) as w:
             for _ in range(args.n_images):
-                w.add(rng.integers(0, 256, size=(args.image_size, args.image_size, 1)).astype(np.uint8),
-                      codec=codec)
+                img = np.clip(base + rng.normal(0, 0.01, base.shape), 0, 1)
+                w.add((img * (hi - 1)).astype(dtype)[..., None], codec=codec)
         print(f"synthetic {args.codec} store: {os.path.getsize(store_path)/1e6:.1f} MB", file=sys.stderr)
 
     ns = NativeStore(store_path)
     n = ns.num_samples
     h, w, c = ns.shape
-    bytes_per_img = h * w * c
+    bytes_per_img = h * w * c * ns.dtype.itemsize
     results = {}
     for t in args.threads:
         idxs = np.random.default_rng(1).permutation(n).astype(np.int64)
@@ -68,6 +78,7 @@ def main() -> int:
         "unit": "GB/s",
         "images_per_sec": round(best[0], 1),
         "codec": args.codec,
+        "bit_depth": 16 if ns.dtype == np.uint16 else 8,
         "host_cpus": os.cpu_count(),
     }))
     return 0
