@@ -90,6 +90,11 @@ static int make_params(int precision, int near_, int maxval, int t1, int t2,
 // MSB-first bit reader with JPEG-LS marker-avoidance unstuffing: after an
 // 0xFF byte only 7 bits of the next byte are data; 0xFF followed by a byte
 // >= 0x80 is a marker → end of scan data (feed zeros thereafter).
+//
+// Buffered: `acc` holds the next `nbits` undelivered bits in its LOW bits
+// (all higher bits zero — the invariant every extraction preserves), so
+// multi-bit reads are one shift+mask and unary runs resolve with one clz
+// instead of a per-bit loop.
 struct BitReader {
   const uint8_t* data;
   int64_t n, pos;
@@ -100,44 +105,61 @@ struct BitReader {
   BitReader(const uint8_t* d, int64_t size, int64_t start)
       : data(d), n(size), pos(start) {}
 
-  void fill() {
-    if (pos >= n) { acc <<= 8; nbits += 8; prev_ff = false; return; }
-    uint8_t b = data[pos];
-    if (prev_ff) {
-      if (b >= 0x80) { acc <<= 8; nbits += 8; return; }  // marker: zeros
-      ++pos;
-      acc = (acc << 7) | (b & 0x7F);
-      nbits += 7;
-      prev_ff = false;
-      return;
+  // Top the accumulator up to >= 57 bits (one byte may add only 7).
+  void refill() {
+    while (nbits <= 56) {
+      if (pos >= n) { acc <<= 8; nbits += 8; prev_ff = false; continue; }
+      uint8_t b = data[pos];
+      if (prev_ff) {
+        if (b >= 0x80) { acc <<= 8; nbits += 8; continue; }  // marker: zeros
+        ++pos;
+        acc = (acc << 7) | (b & 0x7F);
+        nbits += 7;
+        prev_ff = false;
+      } else {
+        ++pos;
+        acc = (acc << 8) | b;
+        nbits += 8;
+        prev_ff = (b == 0xFF);
+      }
     }
-    ++pos;
-    acc = (acc << 8) | b;
-    nbits += 8;
-    prev_ff = (b == 0xFF);
   }
 
   inline int read_bit() {
-    if (nbits == 0) fill();
+    if (nbits == 0) refill();
     --nbits;
-    int bit = (acc >> nbits) & 1;
+    int bit = int((acc >> nbits) & 1);
     acc &= (uint64_t(1) << nbits) - 1;
     return bit;
   }
 
   inline int64_t read(int k) {
-    int64_t v = 0;
-    for (int i = 0; i < k; ++i) v = (v << 1) | read_bit();
+    if (k <= 0) return 0;
+    if (nbits < k) refill();
+    nbits -= k;
+    int64_t v = int64_t(acc >> nbits);
+    acc &= (uint64_t(1) << nbits) - 1;
     return v;
   }
 
   // count 0-bits until the terminating 1; cap guards corrupt streams
   inline int read_unary(int cap, int* err) {
     int c = 0;
-    while (read_bit() == 0) {
-      if (++c > cap) { *err = 23; return 0; }
+    for (;;) {
+      if (nbits == 0) refill();
+      if (acc == 0) {  // whole window is zeros: swallow it and keep going
+        c += nbits;
+        nbits = 0;
+        if (c > cap) { *err = 23; return 0; }
+        continue;
+      }
+      int top = 63 - __builtin_clzll(acc);  // position of the terminating 1
+      c += nbits - 1 - top;
+      if (c > cap) { *err = 23; return 0; }
+      nbits = top;  // consume through the 1-bit
+      acc &= (uint64_t(1) << top) - 1;
+      return c;
     }
-    return c;
   }
 };
 
@@ -164,6 +186,22 @@ static inline int quantize_gradient(int d, const Params& p) {
   if (d < p.t3) return 3;
   return 4;
 }
+
+// Table-driven A.3.3 quantization: gradients are sample differences, so
+// d ∈ [-maxval, maxval] — one int8 lookup replaces the 8-branch compare
+// chain, which dominates the per-pixel cost on noisy content (<=8 KB for
+// 12-bit data, L1-resident).
+struct GradientLUT {
+  std::vector<int8_t> t;
+  const int8_t* base;  // pre-offset pointer: base[d] is valid for ±maxval
+
+  explicit GradientLUT(const Params& p) : t(2 * p.maxval + 1) {
+    for (int d = -p.maxval; d <= p.maxval; ++d)
+      t[d + p.maxval] = int8_t(quantize_gradient(d, p));
+    base = t.data() + p.maxval;
+  }
+  inline int operator()(int d) const { return base[d]; }
+};
 
 // Regular-mode contexts A/B/C/N (365 entries) + run-interruption contexts
 struct Contexts {
@@ -256,6 +294,7 @@ static inline int fix_reconstructed(int64_t v, const Params& p) {
 static int decode_scan(BitReader& br, int rows, int cols, const Params& p,
                        uint16_t* out, int stride) {
   Contexts ctx(p);
+  const GradientLUT qg(p);
   std::vector<int> prev(cols, 0), prev2(cols, 0), cur(cols, 0);
   int run_index = 0;
   const int near_ = p.near_, maxval = p.maxval, range = p.range;
@@ -319,10 +358,7 @@ static int decode_scan(BitReader& br, int rows, int cols, const Params& p,
         continue;
       }
       // ---- regular mode (A.4–A.6) ----
-      int q1 = quantize_gradient(d1, p);
-      int q2 = quantize_gradient(d2, p);
-      int q3 = quantize_gradient(d3, p);
-      int q = 81 * q1 + 9 * q2 + q3;
+      int q = 81 * qg(d1) + 9 * qg(d2) + qg(d3);
       int sign = q < 0 ? -1 : 1;
       if (q < 0) q = -q;
       int px = clampv(med(a, b, c) + sign * ctx.C[q], maxval);
@@ -331,7 +367,7 @@ static int decode_scan(BitReader& br, int rows, int cols, const Params& p,
       int64_t merr = golomb_decode(br, k, p.limit, p.qbpp, &err);
       if (err) return err;
       // A.5.2 inverse error mapping (floor division semantics for negatives)
-      int64_t errval = (merr & 1) ? -((merr + 1) >> 1) : (merr >> 1);
+      int64_t errval = (merr >> 1) ^ -(merr & 1);  // zigzag unmap, branchless
       if (k == 0 && near_ == 0 && 2 * ctx.B[q] <= -ctx.N[q])
         errval = -errval - 1;
       if ((errval < 0 ? -errval : errval) > range) return 28;
@@ -436,7 +472,18 @@ struct BitWriter {
   }
 
   inline void write(int64_t value, int nbits) {
-    for (int i = nbits - 1; i >= 0; --i) write_bit(int((value >> i) & 1));
+    while (nbits > 0) {
+      int take = nbits < free_ ? nbits : free_;
+      uint32_t chunk = uint32_t((value >> (nbits - take)) & ((1 << take) - 1));
+      free_ -= take;
+      nbits -= take;
+      cur |= chunk << free_;
+      if (free_ == 0) {
+        out.push_back(uint8_t(cur));
+        cap = free_ = (cur == 0xFF) ? 7 : 8;
+        cur = 0;
+      }
+    }
   }
 
   void flush() {
@@ -476,6 +523,7 @@ static inline int64_t mod_range(int64_t errval, int rng) {
 static void encode_scan(BitWriter& bw, const uint16_t* img, int rows, int cols,
                         int stride, const Params& p) {
   Contexts ctx(p);
+  const GradientLUT qg(p);
   std::vector<int> prev(cols, 0), prev2(cols, 0), cur(cols, 0);
   int run_index = 0;
   const int near_ = p.near_, maxval = p.maxval, range = p.range;
@@ -554,10 +602,7 @@ static void encode_scan(BitWriter& bw, const uint16_t* img, int rows, int cols,
         continue;
       }
       // ---- regular mode (A.4–A.6) ----
-      int q1 = quantize_gradient(d1, p);
-      int q2 = quantize_gradient(d2, p);
-      int q3 = quantize_gradient(d3, p);
-      int q = 81 * q1 + 9 * q2 + q3;
+      int q = 81 * qg(d1) + 9 * qg(d2) + qg(d3);
       const int sign = q < 0 ? -1 : 1;
       if (q < 0) q = -q;
       const int px = clampv(med(a, b, c) + sign * ctx.C[q], maxval);
