@@ -138,9 +138,74 @@ def _seg_bench(args):
     return 0
 
 
+def _seg3d_bench(args):
+    """3D U-Net volumetric train-step throughput (`train_segmentation3d.py`
+    defaults: stored (64,96,96) volumes → random (32,64,64) crops). The
+    reference has no 3D path; vs_baseline counts each volume as crop-depth
+    equivalent 2D slices against the 5k img/s/chip north star."""
+    import jax
+    import jax.numpy as jnp
+
+    from medical_image_segmentation_tpu.ops.augment3d import segmentation_augment_3d
+    from medical_image_segmentation_tpu.parallel import make_mesh, replicated, shard_batch
+    from medical_image_segmentation_tpu.train.seg3d_task import Segmentation3DTask
+
+    if args.store is not None or args.precrop:
+        raise SystemExit("--task seg3d benchmarks device-resident batches")
+    n_chips = len(jax.devices())
+    if args.batch_size % n_chips:
+        raise SystemExit(f"--batch_size {args.batch_size} must divide {n_chips} devices")
+    vol = tuple(args.volume_size)
+    crop = tuple(args.crop3d)
+    task = Segmentation3DTask(
+        learning_rate=1.0, warmup_epochs=10, max_epochs=50, steps_per_epoch=100,
+        remat=args.remat,
+    )
+    mesh = make_mesh()
+    state = task.init(jax.random.key(0), (1, *crop, 1))
+    state = jax.device_put(state, replicated(mesh))
+
+    from functools import partial as _partial
+
+    @_partial(jax.jit, donate_argnums=0)
+    def step(state, vols, msks, key):
+        x, y = segmentation_augment_3d(key, vols, msks, out_size=crop, train=True,
+                                       dtype=jnp.bfloat16)
+        return task.train_step(state, x, y)
+
+    rng = np.random.default_rng(0)
+    vols = shard_batch(mesh, rng.random((args.batch_size, *vol, 1)).astype(np.float32))
+    msks = shard_batch(mesh, (rng.random((args.batch_size, *vol, 1)) < 0.2).astype(np.float32))
+    key = jax.random.key(1)
+    for i in range(args.warmup):
+        state, metrics = step(state, vols, msks, jax.random.fold_in(key, i))
+    float(metrics["train/loss"])  # host fence (axon: block_until_ready lies)
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state, metrics = step(state, vols, msks, jax.random.fold_in(key, 100 + i))
+    final_loss = float(metrics["train/loss"])
+    dt = time.perf_counter() - t0
+    vols_per_sec = args.batch_size * args.steps / dt
+    per_chip = vols_per_sec / n_chips
+    flops = _step_flops(step, state, vols, msks, key)
+    peak = _peak_flops_per_chip()
+    mfu = round(flops * args.steps / dt / (peak * n_chips), 4) if flops and peak else None
+    print(f"[seg3d] loss={final_loss:.4f} total={vols_per_sec:.1f} vol/s "
+          f"({dt/args.steps*1e3:.1f} ms/step, crop {crop})", file=sys.stderr)
+    print(json.dumps({
+        "metric": "seg3d_train_volumes_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "volumes/sec/chip",
+        "vs_baseline": round(per_chip * crop[0] / 5000.0, 3),
+        "task": "seg3d", "mfu": mfu,
+    }))
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch_size", type=int, default=1024)
+    ap.add_argument("--batch_size", type=int, default=None,
+                    help="default: 1024 (byol), 128 (seg), 4 (seg3d)")
     ap.add_argument("--image_size", type=int, default=256)
     ap.add_argument("--crop_size", type=int, default=112)
     ap.add_argument("--arch", default="resnet18")
@@ -163,15 +228,25 @@ def main():
                     help="checkpoint residual blocks (fit bigger archs/batches)")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of the timed steps to DIR")
-    ap.add_argument("--task", default="byol", choices=["byol", "seg"],
+    ap.add_argument("--task", default="byol", choices=["byol", "seg", "seg3d"],
                     help="seg: U-Net(arch) segmentation train step with "
                          "device-side paired augmentation (canonical config: "
                          "--task seg --batch_size 128 --image_size 224); "
+                         "seg3d: volumetric 3D U-Net train step (--volume_size/"
+                         "--crop3d, e.g. --task seg3d --batch_size 4); "
                          "device-resident batches only")
+    ap.add_argument("--volume_size", type=int, nargs=3, default=(64, 96, 96),
+                    metavar=("D", "H", "W"), help="seg3d: stored volume shape")
+    ap.add_argument("--crop3d", type=int, nargs=3, default=(32, 64, 64),
+                    metavar=("D", "H", "W"), help="seg3d: random train crop")
     args = ap.parse_args()
+    if args.batch_size is None:
+        args.batch_size = {"byol": 1024, "seg": 128, "seg3d": 4}[args.task]
 
     if args.task == "seg":
         return _seg_bench(args)
+    if args.task == "seg3d":
+        return _seg3d_bench(args)
 
     from medical_image_segmentation_tpu.ops.augment import BYOL_VIEW1, BYOL_VIEW2
     from medical_image_segmentation_tpu.ops.pallas_augment import pallas_two_view_augment
