@@ -78,7 +78,9 @@ class DecathlonVolumeDataset:
     def __len__(self) -> int:
         return len(self.pairs)
 
-    def __getitem__(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+    def raw(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(volume, mask) at native resolution, normalized/binarized but not
+        padded — for full-res sliding-window eval."""
         img_path, msk_path = self.pairs[i]
         vol = read_nifti(img_path).get_fdata()
         seg = read_nifti(msk_path).get_fdata()
@@ -94,8 +96,12 @@ class DecathlonVolumeDataset:
         scale = 1.0 / (hi - lo) if hi > lo else 0.0
         img = ((vol - lo) * scale).astype(np.float32)
         msk = (seg != 0).astype(np.float32)
-        img = center_fit(img, self.target_shape)[..., None]
-        msk = center_fit(msk, self.target_shape)[..., None]
+        return img[..., None], msk[..., None]
+
+    def __getitem__(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        img, msk = self.raw(i)
+        img = center_fit(img, self.target_shape)
+        msk = center_fit(msk, self.target_shape)
         return img, msk
 
 

@@ -137,3 +137,95 @@ def make_unet_window_fn(task, state):
         )
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# volumetric (3D) variant — same tiling/Hann-blend scheme over (D, H, W)
+
+
+@partial(jax.jit, static_argnames=("window",))
+def _extract_windows_3d(volume, coords, window):
+    wd, wh, ww = window
+
+    def one(c):
+        return jax.lax.dynamic_slice(volume, (c[0], c[1], c[2], 0), (wd, wh, ww, volume.shape[3]))
+
+    return jax.vmap(one)(coords)
+
+
+@partial(jax.jit, static_argnames=("window",))
+def _blend_batch_3d(out_logits, weight_sum, coords, weighted, blend, valid, window):
+    wd, wh, ww = window
+    k = out_logits.shape[-1]
+
+    def body(j, carry):
+        ol, ws = carry
+        z, y, x = coords[j, 0], coords[j, 1], coords[j, 2]
+        v = (j < valid).astype(jnp.float32)
+        patch = jax.lax.dynamic_slice(ol, (z, y, x, 0), (wd, wh, ww, k))
+        ol = jax.lax.dynamic_update_slice(ol, patch + weighted[j] * v, (z, y, x, 0))
+        wpatch = jax.lax.dynamic_slice(ws, (z, y, x, 0), (wd, wh, ww, 1))
+        ws = jax.lax.dynamic_update_slice(ws, wpatch + blend * v, (z, y, x, 0))
+        return ol, ws
+
+    return jax.lax.fori_loop(0, coords.shape[0], body, (out_logits, weight_sum))
+
+
+def sliding_window_predict_3d(
+    apply_fn: Callable[[jax.Array], jax.Array],   # (N, d, h, w, C) → (N, d, h, w, K)
+    volume: jax.Array,                             # (D, H, W, C) full-res, normalized
+    window,                                        # (d, h, w)
+    stride=None,                                   # (d, h, w); default window // 2
+    batch_windows: int = 4,
+    num_classes: int = 1,
+    mesh=None,
+) -> jax.Array:
+    """Full-res volumetric logits (D, H, W, K) by overlapped window blending
+    — the standard way to evaluate a crop-trained 3D U-Net on whole CT/MR
+    volumes (the 3D analogue of `sliding_window_predict`; the reference has
+    neither). ``mesh`` shards each window batch over the ``data`` axis."""
+    window = tuple(window)
+    if stride is None:
+        stride = tuple(max(1, s // 2) for s in window)
+    stride = tuple(stride)
+    shard_views = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        ndev = int(np.prod(list(mesh.shape.values())))
+        batch_windows = -(-batch_windows // ndev) * ndev
+        sharding = NamedSharding(mesh, PartitionSpec("data"))
+
+        def shard_views(v):
+            return jax.device_put(v, sharding)
+    orig = volume.shape[:3]
+    pads = [max(w - o, 0) for w, o in zip(window, orig)]
+    if any(pads):
+        volume = jnp.pad(volume, tuple((0, p) for p in pads) + ((0, 0),))
+    dims = volume.shape[:3]
+
+    starts = [_window_starts(dims[i], window[i], stride[i]) for i in range(3)]
+    coords = np.array([(z, y, x) for z in starts[0] for y in starts[1] for x in starts[2]], np.int32)
+    n = len(coords)
+    pad_n = (-n) % batch_windows
+    if pad_n:
+        coords = np.concatenate([coords, np.tile(coords[-1:], (pad_n, 1))])
+
+    wz, wy, wx = (jnp.asarray(_blend_weights(w)) for w in window)
+    blend = (wz[:, None, None] * wy[None, :, None] * wx[None, None, :])[..., None]
+
+    out_logits = jnp.zeros((*dims, num_classes), jnp.float32)
+    weight_sum = jnp.zeros((*dims, 1), jnp.float32)
+    for s in range(0, len(coords), batch_windows):
+        cb = jnp.asarray(coords[s : s + batch_windows])
+        windows = _extract_windows_3d(volume, cb, window)
+        if shard_views is not None:
+            windows = shard_views(windows)
+        logits = apply_fn(windows).astype(jnp.float32)
+        valid = jnp.int32(min(n - s, batch_windows))
+        out_logits, weight_sum = _blend_batch_3d(
+            out_logits, weight_sum, cb, logits * blend, blend, valid, window
+        )
+
+    full = out_logits / weight_sum
+    return full[: orig[0], : orig[1], : orig[2]]

@@ -60,6 +60,9 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     ap.add_argument("--checkpoint_dir", default="checkpoints/seg3d")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--checkpoint_every_epochs", type=int, default=1)
+    ap.add_argument("--full_res_window", type=int, nargs=3, default=None, metavar=("D", "H", "W"),
+                    help="after training, evaluate test volumes at native resolution "
+                         "via overlapped sliding-window blending (eval/sliding_window.py)")
     ap.add_argument("--limit_steps_per_epoch", type=int, default=0)
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--fp32", dest="bf16", action="store_false")
@@ -224,6 +227,45 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         print("test: " + " ".join(f"{k}={v:.4f}" for k, v in test.items()), file=sys.stderr)
         logger.log(test, step=int(np.asarray(state.step)), epoch=args.max_epochs)
     _checkpoint()
+
+    if args.full_res_window and is_main:
+        from medical_image_segmentation_tpu.eval.sliding_window import sliding_window_predict_3d
+        from medical_image_segmentation_tpu.ops.dice import dice_coefficient, jaccard_index, post_process_masks
+
+        try:
+            ds_test = DecathlonVolumeDataset(args.images_dir, args.masks_dir,
+                                             target_shape=tuple(args.volume_size),
+                                             split_file=args.split_file, split="test")
+        except ValueError:
+            ds_test = ds_train
+
+        host_state = jax.device_get(state)
+
+        @jax.jit
+        def window_fn(windows):
+            variables = {"params": host_state.params}
+            if host_state.batch_stats:
+                variables["batch_stats"] = host_state.batch_stats
+            return task.model.apply(variables, windows, train=False)
+
+        dices, ious = [], []
+        for i in range(len(ds_test)):
+            vol, msk = ds_test.raw(i)
+            x = (vol - args.mean) / args.std
+            logits = sliding_window_predict_3d(
+                window_fn, jnp.asarray(x), window=tuple(args.full_res_window),
+                mesh=mesh if nproc == 1 else None,
+            )
+            pred = post_process_masks(logits)
+            dices.append(float(dice_coefficient(pred, jnp.asarray(msk))))
+            ious.append(float(jaccard_index(pred, jnp.asarray(msk))))
+        if dices:
+            print(f"full-res sliding-window test: dice={np.mean(dices):.4f} "
+                  f"iou={np.mean(ious):.4f} ({len(dices)} volumes, "
+                  f"window {tuple(args.full_res_window)})", file=sys.stderr)
+            logger.log({"test/full_res_dice": float(np.mean(dices)),
+                        "test/full_res_iou": float(np.mean(ious))},
+                       step=int(np.asarray(state.step)), epoch=args.max_epochs)
     return 0
 
 

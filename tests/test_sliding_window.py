@@ -97,3 +97,47 @@ class TestDiceCE:
         _, m1 = t1.train_step(s1, images, masks)
         _, m2 = t2.train_step(s2, images, masks)
         assert float(m2["train/loss"]) > float(m1["train/loss"])
+
+
+class TestSlidingWindow3D:
+    def test_identity_model_reconstructs_volume(self):
+        from medical_image_segmentation_tpu.eval.sliding_window import sliding_window_predict_3d
+
+        rng = np.random.default_rng(1)
+        vol = jnp.asarray(rng.normal(size=(20, 30, 26, 1)).astype(np.float32))
+
+        out = sliding_window_predict_3d(lambda w: w, vol, window=(8, 16, 16),
+                                        stride=(4, 8, 8), batch_windows=3)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(vol), rtol=1e-5, atol=1e-6)
+
+    def test_pads_small_volumes(self):
+        from medical_image_segmentation_tpu.eval.sliding_window import sliding_window_predict_3d
+
+        vol = jnp.ones((4, 10, 10, 1), jnp.float32)
+        out = sliding_window_predict_3d(lambda w: w * 2.0, vol, window=(8, 16, 16))
+        assert out.shape == (4, 10, 10, 1)
+        np.testing.assert_allclose(np.asarray(out), 2.0, rtol=1e-5)
+
+    def test_unet3d_full_res_matches_crop_training_shape(self):
+        """Crop-trained UNet3D evaluated on a larger volume: finite logits at
+        the native shape, and the single-window case equals a direct apply."""
+        from medical_image_segmentation_tpu.eval.sliding_window import sliding_window_predict_3d
+        from medical_image_segmentation_tpu.train.seg3d_task import Segmentation3DTask
+
+        task = Segmentation3DTask(features=(4, 8), dtype=jnp.float32)
+        state = task.init(jax.random.key(0), (1, 8, 16, 16, 1))
+
+        @jax.jit
+        def window_fn(w):
+            return task.model.apply({"params": state.params}, w, train=False)
+
+        rng = np.random.default_rng(2)
+        big = jnp.asarray(rng.random((12, 24, 24, 1)).astype(np.float32))
+        out = sliding_window_predict_3d(window_fn, big, window=(8, 16, 16), batch_windows=2)
+        assert out.shape == (12, 24, 24, 1)
+        assert np.isfinite(np.asarray(out)).all()
+
+        exact = jnp.asarray(rng.random((8, 16, 16, 1)).astype(np.float32))
+        direct = window_fn(exact[None])[0]
+        blended = sliding_window_predict_3d(window_fn, exact, window=(8, 16, 16))
+        np.testing.assert_allclose(np.asarray(blended), np.asarray(direct), rtol=1e-5, atol=1e-5)
