@@ -305,3 +305,54 @@ def test_train_segmentation_preemption_sigterm_one_host(tmp_path):
     assert "signal 15" in out1, out1[-2000:]
     steps = [d for d in os.listdir(ckpt_dir) if d.isdigit()]
     assert steps, f"no preemption checkpoint written:\n{''.join(lines[0])[-2000:]}"
+
+
+def test_train_segmentation3d_two_processes(tmp_path):
+    """The volumetric entry point as TWO coordinated processes over a
+    ('data','space') mesh (--space_shards 2): sharded volume loaders in
+    lockstep, depth-sharded 3D conv halos via GSPMD, lockstep eval, and the
+    collective final checkpoint."""
+    from medical_image_segmentation_tpu.data.nifti import write_nifti
+
+    rng = np.random.default_rng(0)
+    (tmp_path / "imagesTr").mkdir()
+    (tmp_path / "labelsTr").mkdir()
+    for v in range(8):
+        seg = np.zeros((32, 32, 16), np.uint8)
+        seg[8:24, 8:24, 4:12] = 1
+        vol = (seg * 120.0 + rng.normal(40, 15, seg.shape)).astype(np.float32)
+        write_nifti(str(tmp_path / "imagesTr" / f"la_{v:03d}.nii.gz"), vol)
+        write_nifti(str(tmp_path / "labelsTr" / f"la_{v:03d}.nii.gz"), seg)
+
+    port = _free_port()
+    ckpt_dir = str(tmp_path / "ckpt")
+    procs = []
+    for i in range(2):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env.update({
+            "MIS_FORCE_CPU_DEVICES": "2",
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+            "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(i),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "medical_image_segmentation_tpu.train.train_segmentation3d",
+             "--images_dir", str(tmp_path / "imagesTr"), "--masks_dir", str(tmp_path / "labelsTr"),
+             "--volume_size", "16", "32", "32", "--crop_size", "8", "16", "16",
+             "--batch_size", "4", "--max_epochs", "2", "--warmup_epochs", "0",
+             "--features", "8", "16", "--space_shards", "2", "--fp32",
+             "--checkpoint_dir", ckpt_dir, "--log_dir", str(tmp_path / f"logs{i}")],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
+        ))
+    outs = [p.communicate(timeout=560)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-4000:]}"
+    assert "epoch 0: train/loss=" in outs[0]
+    assert "epoch 0: train/loss=" not in outs[1]
+    assert "val/dice=" in outs[0]
+    assert "test: " in outs[0]
+    steps = [d for d in os.listdir(ckpt_dir) if d.isdigit()]
+    assert steps, f"no checkpoint written:\n{outs[0][-2000:]}"

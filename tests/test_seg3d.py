@@ -5,6 +5,8 @@ The reference has no 3D path at all (volumes are sliced to PNGs,
 `slice_medical_decathlon_scans.py:55-83`); these tests pin the
 beyond-reference TPU-native implementation."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -242,3 +244,44 @@ def test_seg3d_spatial_sharding_parity():
     loss_1, norm_1 = step(mesh1, False)
     assert abs(loss_n - loss_1) / max(abs(loss_1), 1e-12) < 2e-4
     assert abs(norm_n - norm_1) / max(abs(norm_1), 1e-12) < 2e-4
+
+
+class TestPredict3D:
+    def test_cli_serves_masks_from_checkpoint(self, tmp_path):
+        """Train briefly, checkpoint, then serve masks for NIfTI volumes via
+        the volumetric serving CLI — masks come back in source (X, Y, Z)
+        axis order at native resolution."""
+        from medical_image_segmentation_tpu.core.checkpoint import save_checkpoint
+        from medical_image_segmentation_tpu.data.nifti import read_nifti, write_nifti
+        from medical_image_segmentation_tpu.train import predict3d
+        from medical_image_segmentation_tpu.train.seg3d_task import Segmentation3DTask
+
+        rng = np.random.default_rng(0)
+        msk = np.zeros((2, 8, 16, 16, 1), np.float32)
+        msk[:, 2:6, 4:12, 4:12] = 1.0
+        vol = msk * 0.8 + rng.random(msk.shape).astype(np.float32) * 0.1
+        task = Segmentation3DTask(features=(4, 8), learning_rate=0.3, warmup_epochs=0,
+                                  max_epochs=100, min_lr=0.0, dtype=jnp.float32)
+        state = task.init(jax.random.key(0), (1, 8, 16, 16, 1))
+        for _ in range(10):
+            state, _ = task.train_step(state, jnp.asarray(vol), jnp.asarray(msk))
+        ckpt_dir = str(tmp_path / "ckpt")
+        save_checkpoint(ckpt_dir, jax.device_get(state), int(np.asarray(state.step)))
+
+        img_d = tmp_path / "vols"
+        img_d.mkdir()
+        # native volume larger than the window, source order (X=20, Y=18, Z=10)
+        nat = rng.random((20, 18, 10)).astype(np.float32) * 0.1
+        nat[6:14, 5:13, 2:7] += 0.8
+        write_nifti(str(img_d / "case_0.nii.gz"), nat)
+
+        out_d = str(tmp_path / "masks")
+        rc = predict3d.main([
+            "--checkpoint", ckpt_dir, "--features", "4", "8",
+            "--images_dir", str(img_d), "--output_dir", out_d,
+            "--window", "8", "16", "16", "--mean", "0.0", "--std", "1.0", "--fp32",
+        ])
+        assert rc == 0
+        out = read_nifti(os.path.join(out_d, "case_0_mask.nii.gz")).get_fdata()
+        assert out.shape == (20, 18, 10)  # source axis order, native resolution
+        assert set(np.unique(out)) <= {0.0, 1.0}
