@@ -83,6 +83,44 @@ def extract_byol_backbone(byol_variables: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
+def load_byol3d_encoder_into_unet3d(
+    unet_variables: Dict[str, Any],
+    byol_variables: Dict[str, Any],
+) -> Dict[str, Any]:
+    """3D analogue of `load_byol_encoder_into_unet`: graft a volumetric-BYOL
+    backbone (``Encoder(volumetric=True)`` → ``UNet3DEncoder``) into a
+    ``UNet3D``'s parameter tree.
+
+    ``UNet3DEncoder`` names its blocks exactly like UNet3D's encoder half
+    (``enc{i}``/``down{i}``), so the graft is a per-block subtree copy at
+    the top level (UNet3D has no nested "encoder" scope). Both sides must
+    use the same norm (GroupNorm by default — shape mismatches raise)."""
+    enc_key = "UNet3DEncoder_0"  # Encoder's first (auto-named) submodule
+    new_vars = jax.tree.map(lambda x: x, unet_variables)  # shallow-copy tree
+    for coll in ("params", "batch_stats"):
+        if coll not in byol_variables or not byol_variables[coll]:
+            continue
+        src = byol_variables[coll].get("encoder", {}).get(enc_key, {})
+        if not src:
+            continue
+        tgt_coll = dict(new_vars.get(coll, {}))
+        mismatches = []
+        for block, sub in src.items():
+            if block not in tgt_coll:
+                raise ValueError(f"UNet3D has no {coll} block {block!r} to graft into")
+
+            def _check(path, a, b):
+                if a.shape != b.shape:
+                    mismatches.append((block + jax.tree_util.keystr(path), a.shape, b.shape))
+                return b
+
+            tgt_coll[block] = jax.tree_util.tree_map_with_path(_check, tgt_coll[block], sub)
+        if mismatches:
+            raise ValueError(f"3D encoder shape mismatches in {coll}: {mismatches}")
+        new_vars[coll] = tgt_coll
+    return new_vars
+
+
 def load_byol_encoder_into_unet(
     unet_variables: Dict[str, Any],
     byol_variables: Dict[str, Any],

@@ -105,6 +105,36 @@ class DecathlonVolumeDataset:
         return img, msk
 
 
+class UnlabeledVolumeDataset:
+    """Images-only volume dataset (volumetric BYOL pretraining): every
+    .nii/.nii.gz under ``images_dir``, min-max normalized to 0..1 and
+    center-fitted to ``target_shape``. Items are 1-tuples so
+    ``VolumeLoader`` yields ``(batch,)``."""
+
+    def __init__(self, images_dir: str, target_shape: Tuple[int, int, int] = (64, 96, 96)):
+        names = sorted(
+            f for f in os.listdir(images_dir)
+            if (f.endswith(".nii") or f.endswith(".nii.gz")) and not f.startswith(".")
+        )
+        if not names:
+            raise ValueError(f"no NIfTI volumes under {images_dir}")
+        self.paths = [os.path.join(images_dir, n) for n in names]
+        self.target_shape = tuple(target_shape)
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def __getitem__(self, i: int):
+        vol = read_nifti(self.paths[i]).get_fdata()
+        if vol.ndim == 4:
+            vol = vol[..., 0]
+        vol = np.moveaxis(vol, -1, 0)
+        lo, hi = float(vol.min()), float(vol.max())
+        scale = 1.0 / (hi - lo) if hi > lo else 0.0
+        img = ((vol - lo) * scale).astype(np.float32)
+        return (center_fit(img, self.target_shape)[..., None],)
+
+
 class VolumeLoader:
     """Batched loader with epoch shuffling and multi-host sharding."""
 
@@ -142,11 +172,11 @@ class VolumeLoader:
         n = len(self._indices())
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, ...]]:
         idx = self._indices()
         self.epoch += 1
         end = len(idx) - (len(idx) % self.batch_size) if self.drop_last else len(idx)
         for s in range(0, end, self.batch_size):
             chunk = idx[s:s + self.batch_size]
-            imgs, msks = zip(*(self.ds[int(i)] for i in chunk))
-            yield np.stack(imgs), np.stack(msks)
+            cols = zip(*(self.ds[int(i)] for i in chunk))
+            yield tuple(np.stack(c) for c in cols)  # (imgs, masks) or (imgs,)

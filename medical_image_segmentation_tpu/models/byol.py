@@ -32,7 +32,11 @@ from medical_image_segmentation_tpu.models.resnet import make_resnet
 
 class Encoder(nn.Module):
     """Backbone + projector. ``return_embedding=True`` gives pooled backbone
-    features (for KNN / linear probes), else the projection z."""
+    features (for KNN / linear probes), else the projection z.
+
+    ``volumetric=True`` swaps the ResNet for a ``UNet3DEncoder`` backbone
+    (inputs become (B, D, H, W, C)); everything downstream — projector,
+    predictor, probe, EMA, LARS — is shape-agnostic and unchanged."""
 
     arch: str = "resnet18"
     in_channels: int = 3
@@ -41,11 +45,20 @@ class Encoder(nn.Module):
     proj_dim: int = 256
     dtype: Any = jnp.bfloat16
     remat: bool = False
+    volumetric: bool = False
+    features3d: Any = (32, 64, 128, 256)
 
     @nn.compact
     def __call__(self, x, train: bool = True, return_embedding: bool = False):
-        backbone = make_resnet(self.arch, in_channels=self.in_channels, low_res=self.low_res,
-                               dtype=self.dtype, remat=self.remat)
+        if self.volumetric:
+            from medical_image_segmentation_tpu.models.unet3d import UNet3DEncoder
+
+            backbone = UNet3DEncoder(in_channels=self.in_channels,
+                                     features=tuple(self.features3d),
+                                     dtype=self.dtype, remat=self.remat)
+        else:
+            backbone = make_resnet(self.arch, in_channels=self.in_channels, low_res=self.low_res,
+                                   dtype=self.dtype, remat=self.remat)
         feats = backbone(x, train=train)
         if return_embedding:
             return feats
@@ -66,6 +79,8 @@ class BYOLNet(nn.Module):
     num_classes: int = 10
     dtype: Any = jnp.bfloat16
     remat: bool = False
+    volumetric: bool = False
+    features3d: Any = (32, 64, 128, 256)
 
     def setup(self):
         self.encoder = Encoder(
@@ -76,6 +91,8 @@ class BYOLNet(nn.Module):
             proj_dim=self.proj_dim,
             dtype=self.dtype,
             remat=self.remat,
+            volumetric=self.volumetric,
+            features3d=self.features3d,
         )
         self.predictor = MLP(hidden_dim=self.hidden_dim, out_dim=self.proj_dim, dtype=self.dtype)
         self.probe = nn.Dense(self.num_classes, param_dtype=jnp.float32)

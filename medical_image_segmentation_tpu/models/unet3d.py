@@ -72,6 +72,41 @@ class ConvBlock3D(nn.Module):
         return x
 
 
+class UNet3DEncoder(nn.Module):
+    """The encoder half of ``UNet3D`` as a standalone backbone for
+    volumetric BYOL pretraining. Block/downsample names (``enc{i}``,
+    ``down{i}``) match UNet3D exactly, so a pretrained encoder grafts into
+    a UNet3D's parameter tree by subtree copy
+    (`core/checkpoint.py::load_byol3d_encoder_into_unet3d`) — the 3D
+    analogue of the SSL→segmentation handoff.
+
+    Returns globally average-pooled bottleneck features (B, features[-1])."""
+
+    in_channels: int = 1
+    features: Sequence[int] = (32, 64, 128, 256)
+    norm: str = "group"
+    dtype: Any = jnp.bfloat16
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        if x.shape[-1] != self.in_channels:
+            raise ValueError(f"expected {self.in_channels} input channels, got shape {x.shape}")
+        block_cls = ConvBlock3D
+        if self.remat:
+            block_cls = nn.remat(ConvBlock3D, static_argnums=(2,))
+        x = x.astype(self.dtype)
+        for i, f in enumerate(self.features):
+            x = block_cls(f, norm=self.norm, dtype=self.dtype, name=f"enc{i}")(x, train)
+            if i < len(self.features) - 1:
+                x = nn.Conv(
+                    f, (3, 3, 3), strides=(2, 2, 2), padding=1, use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    kernel_init=conv_kernel_init, name=f"down{i}",
+                )(x)
+        return jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))
+
+
 class UNet3D(nn.Module):
     n_classes: int = 1
     in_channels: int = 1

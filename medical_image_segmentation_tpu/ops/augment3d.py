@@ -81,3 +81,47 @@ def segmentation_augment_3d(
     std_a = jnp.asarray(std, jnp.float32).reshape(1, 1, 1, 1, -1)
     img = ((img - mean_a) / std_a).astype(dtype)
     return img, msk
+
+
+def _byol_view_3d(key, vols, out_size, mean, std, value_scale, dtype):
+    """One augmented view: random crop + flips + intensity jitter + normalize."""
+    b = vols.shape[0]
+    od, oh, ow = out_size
+    kcrop, kflip, kb, kc = jax.random.split(key, 4)
+    offs = _crop_offsets(kcrop, b, vols.shape[1:4], out_size, train=True)
+
+    def crop(v, o):
+        return lax.dynamic_slice(v, (o[0], o[1], o[2], 0), (od, oh, ow, v.shape[-1]))
+
+    img = jax.vmap(crop)(vols, offs).astype(jnp.float32) * value_scale
+    flips = jax.random.uniform(kflip, (b, 3)) < 0.5
+    for ax in range(3):
+        f = flips[:, ax].reshape(b, 1, 1, 1, 1)
+        img = jnp.where(f, jnp.flip(img, axis=ax + 1), img)
+    fb = jax.random.uniform(kb, (b, 1, 1, 1, 1), minval=0.8, maxval=1.2)
+    img = jnp.clip(img * fb, 0.0, 1.0)
+    fc = jax.random.uniform(kc, (b, 1, 1, 1, 1), minval=0.8, maxval=1.2)
+    m = jnp.mean(img, axis=(1, 2, 3, 4), keepdims=True)
+    img = jnp.clip(m + fc * (img - m), 0.0, 1.0)
+    mean_a = jnp.asarray(mean, jnp.float32).reshape(1, 1, 1, 1, -1)
+    std_a = jnp.asarray(std, jnp.float32).reshape(1, 1, 1, 1, -1)
+    return ((img - mean_a) / std_a).astype(dtype)
+
+
+@partial(jax.jit, static_argnames=("out_size", "mean", "std", "value_scale", "dtype"))
+def byol_two_view_augment_3d(
+    rng: jax.Array,
+    vols: jax.Array,            # (B, D, H, W, 1) float 0..1 (× value_scale)
+    out_size: Tuple[int, int, int] = (32, 64, 64),
+    mean: Tuple[float, ...] = (0.2089,),
+    std: Tuple[float, ...] = (0.2109,),
+    value_scale: float = 1.0,
+    dtype=jnp.bfloat16,
+):
+    """Two independent augmented views per volume for volumetric BYOL —
+    the 3D analogue of the 2D two-view pipeline (random sub-volume crop
+    replaces RandomResizedCrop; flips along each axis; intensity jitter)."""
+    k1, k2 = jax.random.split(rng)
+    v1 = _byol_view_3d(k1, vols, out_size, mean, std, value_scale, dtype)
+    v2 = _byol_view_3d(k2, vols, out_size, mean, std, value_scale, dtype)
+    return v1, v2

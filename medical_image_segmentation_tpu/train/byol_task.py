@@ -75,15 +75,18 @@ class BYOLTask:
         probe_loss_weight: float = 1.0,
         dtype: Any = jnp.bfloat16,
         remat: bool = False,
+        volumetric: bool = False,
+        features3d=(32, 64, 128, 256),
     ):
         self.model = BYOLNet(
             arch=arch, in_channels=in_channels, low_res=low_res,
             hidden_dim=hidden_dim, proj_dim=proj_dim, num_classes=num_classes, dtype=dtype,
-            remat=remat,
+            remat=remat, volumetric=volumetric, features3d=tuple(features3d),
         )
         self.target_encoder = Encoder(
             arch=arch, in_channels=in_channels, low_res=low_res,
             hidden_dim=hidden_dim, proj_dim=proj_dim, dtype=dtype, remat=remat,
+            volumetric=volumetric, features3d=tuple(features3d),
         )
         self.total_steps = total_steps
         self.probe_loss_weight = probe_loss_weight

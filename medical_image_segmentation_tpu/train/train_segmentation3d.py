@@ -60,6 +60,8 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     ap.add_argument("--checkpoint_dir", default="checkpoints/seg3d")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--checkpoint_every_epochs", type=int, default=1)
+    ap.add_argument("--ssl_checkpoint", default=None,
+                    help="volumetric-BYOL checkpoint (train_ssl3d) to initialize the encoder from")
     ap.add_argument("--full_res_window", type=int, nargs=3, default=None, metavar=("D", "H", "W"),
                     help="after training, evaluate test volumes at native resolution "
                          "via overlapped sliding-window blending (eval/sliding_window.py)")
@@ -122,6 +124,17 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     )
     crop = tuple(args.crop_size)
     state = task.init(jax.random.key(args.seed), (1, *crop, 1))
+
+    if args.ssl_checkpoint:
+        from medical_image_segmentation_tpu.core.checkpoint import load_byol3d_encoder_into_unet3d
+
+        byol_vars = restore_checkpoint(args.ssl_checkpoint)
+        unet_vars = {"params": state.params, "batch_stats": state.batch_stats}
+        src = {"params": byol_vars["params"], "batch_stats": byol_vars.get("batch_stats", {})}
+        new_vars = load_byol3d_encoder_into_unet3d(unet_vars, src)
+        state = state.replace(params=new_vars["params"],
+                              batch_stats=new_vars.get("batch_stats", state.batch_stats))
+        print(f"initialized 3D encoder from {args.ssl_checkpoint}", file=sys.stderr)
 
     start_epoch = 0
     skip_batches = 0

@@ -285,3 +285,113 @@ class TestPredict3D:
         out = read_nifti(os.path.join(out_d, "case_0_mask.nii.gz")).get_fdata()
         assert out.shape == (20, 18, 10)  # source axis order, native resolution
         assert set(np.unique(out)) <= {0.0, 1.0}
+
+
+class TestBYOL3D:
+    def test_two_view_augment_shapes_and_divergence(self):
+        from medical_image_segmentation_tpu.ops.augment3d import byol_two_view_augment_3d
+
+        rng = np.random.default_rng(7)
+        vols = rng.random((2, 12, 16, 16, 1)).astype(np.float32)
+        v1, v2 = byol_two_view_augment_3d(jax.random.key(0), jnp.asarray(vols),
+                                          out_size=(8, 8, 8), dtype=jnp.float32)
+        assert v1.shape == v2.shape == (2, 8, 8, 8, 1)
+        assert not np.allclose(np.asarray(v1), np.asarray(v2))  # independent views
+        w1, w2 = byol_two_view_augment_3d(jax.random.key(0), jnp.asarray(vols),
+                                          out_size=(8, 8, 8), dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(w1))
+        np.testing.assert_array_equal(np.asarray(v2), np.asarray(w2))
+
+    def test_volumetric_byol_learns(self):
+        """BYOL loss (2-2cos ∈ [0,4]) falls over a few steps on two crops of
+        the same structured volumes; tau follows the schedule."""
+        from medical_image_segmentation_tpu.ops.augment3d import byol_two_view_augment_3d
+        from medical_image_segmentation_tpu.train.byol_task import BYOLTask
+
+        rng = np.random.default_rng(0)
+        base = rng.random((4, 12, 16, 16, 1)).astype(np.float32)
+        task = BYOLTask(volumetric=True, features3d=(4, 8), in_channels=1,
+                        hidden_dim=16, proj_dim=8, num_classes=2,
+                        learning_rate=0.5, warmup_epochs=0, max_epochs=10,
+                        total_steps=10, probe_loss_weight=0.0, dtype=jnp.float32)
+        state = task.init(jax.random.key(0), (1, 8, 8, 8, 1))
+        losses = []
+        for i in range(8):
+            v1, v2 = byol_two_view_augment_3d(jax.random.key(i), jnp.asarray(base),
+                                              out_size=(8, 8, 8), dtype=jnp.float32)
+            state, m = task.train_step(state, v1, v2)
+            losses.append(float(m["loss"]))
+        assert all(np.isfinite(losses))
+        assert 0.0 <= losses[-1] <= 4.0
+        assert losses[-1] < losses[0]
+        assert 0.99 <= float(m["momentum"]) <= 1.0
+
+    def test_encoder_graft_into_unet3d(self):
+        """BYOL3D backbone params graft bit-exactly into UNet3D's encoder
+        blocks (same enc{i}/down{i} names)."""
+        from medical_image_segmentation_tpu.core.checkpoint import load_byol3d_encoder_into_unet3d
+        from medical_image_segmentation_tpu.train.byol_task import BYOLTask
+        from medical_image_segmentation_tpu.train.seg3d_task import Segmentation3DTask
+
+        btask = BYOLTask(volumetric=True, features3d=(4, 8), in_channels=1,
+                         hidden_dim=16, proj_dim=8, num_classes=2,
+                         total_steps=10, dtype=jnp.float32)
+        bstate = btask.init(jax.random.key(1), (1, 8, 8, 8, 1))
+        v = jnp.asarray(np.random.default_rng(2).random((2, 8, 8, 8, 1)), jnp.float32)
+        bstate, _ = btask.train_step(bstate, v, v)
+
+        stask = Segmentation3DTask(features=(4, 8), dtype=jnp.float32)
+        sstate = stask.init(jax.random.key(3), (1, 8, 16, 16, 1))
+        unet_vars = {"params": sstate.params, "batch_stats": sstate.batch_stats}
+        byol_vars = {"params": jax.device_get(bstate.params),
+                     "batch_stats": jax.device_get(bstate.batch_stats)}
+        new_vars = load_byol3d_encoder_into_unet3d(unet_vars, byol_vars)
+
+        src_enc = byol_vars["params"]["encoder"]["UNet3DEncoder_0"]
+        for block in src_enc:
+            np.testing.assert_array_equal(
+                np.asarray(jax.tree.leaves(new_vars["params"][block])[0]),
+                np.asarray(jax.tree.leaves(src_enc[block])[0]))
+        # decoder/head untouched
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(new_vars["params"]["head"])[0]),
+            np.asarray(jax.tree.leaves(sstate.params["head"])[0]))
+
+    def test_ssl3d_cli_and_handoff(self, tmp_path):
+        """train_ssl3d end-to-end on unlabeled volumes, then the seg3d
+        trainer consumes the checkpoint via --ssl_checkpoint."""
+        from medical_image_segmentation_tpu.data.nifti import write_nifti
+        from medical_image_segmentation_tpu.train import train_segmentation3d, train_ssl3d
+
+        rng = np.random.default_rng(0)
+        img_d, msk_d = tmp_path / "imagesTr", tmp_path / "labelsTr"
+        img_d.mkdir(); msk_d.mkdir()
+        for v in range(8):
+            seg = np.zeros((16, 16, 8), np.uint8)
+            seg[4:12, 4:12, 2:6] = 1
+            vol = (seg * 120.0 + rng.normal(40, 15, seg.shape)).astype(np.float32)
+            write_nifti(str(img_d / f"la_{v:03d}.nii.gz"), vol)
+            write_nifti(str(msk_d / f"la_{v:03d}.nii.gz"), seg)
+
+        ssl_ckpt = str(tmp_path / "ssl_ckpt")
+        rc = train_ssl3d.main([
+            "--images_dir", str(img_d), "--volume_size", "8", "16", "16",
+            "--crop_size", "8", "8", "8", "--batch_size", "8", "--max_epochs", "2",
+            "--features", "4", "8", "--hidden_dim", "16", "--projection_dim", "8",
+            "--warmup_epochs", "0", "--fp32",
+            "--log_dir", str(tmp_path / "logs"), "--checkpoint_dir", ssl_ckpt,
+        ])
+        assert rc == 0
+        steps = [d for d in os.listdir(ssl_ckpt) if d.isdigit()]
+        assert steps and max(int(s) for s in steps) >= 2  # actually trained
+
+        rc = train_segmentation3d.main([
+            "--images_dir", str(img_d), "--masks_dir", str(msk_d),
+            "--volume_size", "8", "16", "16", "--crop_size", "8", "16", "16",
+            "--batch_size", "8", "--max_epochs", "1", "--features", "4", "8",
+            "--warmup_epochs", "0", "--fp32",
+            "--ssl_checkpoint", os.path.join(ssl_ckpt, max(steps, key=int)),
+            "--log_dir", str(tmp_path / "logs2"),
+            "--checkpoint_dir", str(tmp_path / "seg_ckpt"),
+        ])
+        assert rc == 0
