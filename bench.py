@@ -243,6 +243,27 @@ def main():
     if args.batch_size is None:
         args.batch_size = {"byol": 1024, "seg": 128, "seg3d": 4}[args.task]
 
+    # Fail FAST if the remote-TPU tunnel is down: the axon plugin's first
+    # jax.devices() call otherwise blocks indefinitely (same guard as
+    # __graft_entry__._probe_device_count).
+    import threading
+
+    probe = {}
+
+    def _probe():
+        try:
+            probe["n"] = len(jax.devices())
+        except Exception as e:  # backend init failure: also report, don't hang
+            probe["err"] = repr(e)
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(120.0)
+    if "n" not in probe:
+        print(f"bench: jax backend init did not complete in 120 s "
+              f"({probe.get('err', 'TPU tunnel down?')}) — aborting", file=sys.stderr)
+        return 3
+
     if args.task == "seg":
         return _seg_bench(args)
     if args.task == "seg3d":
