@@ -220,13 +220,18 @@ struct Contexts {
     Nn[0] = Nn[1] = 0;
   }
 
-  inline int k_regular(int q, int* err) {
-    int k = 0;
-    while ((int64_t(N[q]) << k) < A[q]) {
-      if (++k > 32) { *err = 25; return 0; }
-    }
+  // smallest k >= 0 with (n << k) >= a, closed-form via clz:
+  // bitlen(a-1) - bitlen(n) is within 1 of the answer (one adjust).
+  static inline int k_min_shift(int64_t n, int64_t a, int* err) {
+    if (n >= a) return 0;
+    int k = (64 - __builtin_clzll(uint64_t(a - 1))) -
+            (64 - __builtin_clzll(uint64_t(n)));
+    if ((n << k) < a) ++k;
+    if (k > 32) { *err = 25; return 0; }
     return k;
   }
+
+  inline int k_regular(int q, int* err) { return k_min_shift(N[q], A[q], err); }
 
   // A.6.2 variables update + A.6.3 bias computation
   inline void update_regular(int q, int64_t errval) {
@@ -251,10 +256,8 @@ struct Contexts {
 
   inline int k_run(int ritype, int* err) {
     int64_t temp = Ar[ritype] + (ritype ? (Nr[ritype] >> 1) : 0);
-    int k = 0;
-    while ((int64_t(Nr[ritype]) << k) < temp) {
-      if (++k > 32) { *err = 26; return 0; }
-    }
+    int k = k_min_shift(Nr[ritype], temp, err);
+    if (*err) *err = 26;
     return k;
   }
 
