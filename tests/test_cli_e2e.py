@@ -164,6 +164,7 @@ def test_train_ssl_torchvision_recipe_smoke(tmp_path, monkeypatch):
     assert rc == 0
 
 
+@pytest.mark.slow
 def test_train_ssl_host_precrop_smoke(tmp_path, monkeypatch):
     """--host_precrop end-to-end on the 8-device CPU mesh: the C++ loader
     ships pre-cropped sample-major views, the device runs only the
@@ -276,6 +277,7 @@ def test_train_segmentation_resume_mid_epoch_skips_trained_batches(tmp_path, cap
     assert final == 2 * steps_per_epoch, f"expected {2*steps_per_epoch}, got {final}"
 
 
+@pytest.mark.slow
 def test_predict_cli_serves_masks(tmp_path, capfd):
     """mis-predict (train/predict.py): load a trained checkpoint and serve
     masks for a directory of slices — the deployable inference entry the
