@@ -244,24 +244,13 @@ def main():
         args.batch_size = {"byol": 1024, "seg": 128, "seg3d": 4}[args.task]
 
     # Fail FAST if the remote-TPU tunnel is down: the axon plugin's first
-    # jax.devices() call otherwise blocks indefinitely (same guard as
-    # __graft_entry__._probe_device_count).
-    import threading
+    # jax.devices() call otherwise blocks indefinitely (shared guard with
+    # __graft_entry__).
+    from medical_image_segmentation_tpu.core.device_probe import probe_device_count
 
-    probe = {}
-
-    def _probe():
-        try:
-            probe["n"] = len(jax.devices())
-        except Exception as e:  # backend init failure: also report, don't hang
-            probe["err"] = repr(e)
-
-    t = threading.Thread(target=_probe, daemon=True)
-    t.start()
-    t.join(120.0)
-    if "n" not in probe:
-        print(f"bench: jax backend init did not complete in 120 s "
-              f"({probe.get('err', 'TPU tunnel down?')}) — aborting", file=sys.stderr)
+    n_dev, probe_err = probe_device_count(timeout_s=120.0)
+    if not n_dev:
+        print(f"bench: {probe_err} (TPU tunnel down?) — aborting", file=sys.stderr)
         return 3
 
     if args.task == "seg":
@@ -439,4 +428,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -669,8 +669,14 @@ int jpegls_decode(const uint8_t* data, int64_t size, uint16_t* out,
     rc = decode_scan(br, h.rows, h.cols, p, out + comp, h.ncomp);
     if (rc) return rc;
     if (comp + 1 == h.ncomp) break;
-    // find the next SOS after this scan's entropy data
-    int64_t j = br.pos;
+    // Find the next SOS after this scan's entropy data. The buffered reader
+    // refills in bulk, so br.pos normally rests one byte PAST the 0xFF of
+    // the very marker that terminated the scan (refill leaves pos at the
+    // marker's second byte without consuming it) — start the search one
+    // byte back. Bit stuffing guarantees FF DA cannot occur inside entropy
+    // data (an FF there is always followed by a byte < 0x80), so backing up
+    // cannot produce a false match.
+    int64_t j = br.pos > pos ? br.pos - 1 : br.pos;
     int64_t nxt = -1;
     while (j + 1 < size) {
       if (data[j] == 0xFF && data[j + 1] == kSOS) { nxt = j; break; }

@@ -70,9 +70,18 @@ def make_view_params(
     scale: Tuple[float, float] = (0.08, 1.0),
     ratio: Tuple[float, float] = (0.75, 4.0 / 3.0),
     hflip_prob: float = 0.5,
+    shard: int = 0,
 ) -> np.ndarray:
-    """Deterministic (batch, n_views, 5) window params for one batch."""
-    rng = np.random.default_rng(np.random.SeedSequence([seed, epoch, batch_index]))
+    """Deterministic (batch, n_views, 5) window params for one batch.
+
+    ``shard`` (the host index under multi-host training) MUST be folded in:
+    every host holds a distinct slice of the global batch, so reusing one
+    window stream across hosts would apply identical (y0,x0,h,w,flip) to
+    slot-i of every host's shard — silently dividing augmentation diversity
+    by the host count relative to the device-side path, which samples an
+    independent window per global sample."""
+    rng = np.random.default_rng(
+        np.random.SeedSequence([seed, epoch, batch_index, shard]))
     return np.stack(
         [sample_rrc_windows_np(rng, batch, in_h, in_w, scale, ratio, hflip_prob)
          for _ in range(n_views)],

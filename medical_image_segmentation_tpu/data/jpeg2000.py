@@ -1359,8 +1359,8 @@ def j2k_decode_py(data: bytes) -> np.ndarray:
     return np.stack(res_comps, axis=-1)
 
 
-def j2k_probe(data: bytes) -> Tuple[int, int, int, int, bool]:
-    """Header-only parse → (rows, cols, ncomp, precision, signed)."""
+def _find_siz(data: bytes) -> _Siz:
+    """Walk the main header to the SIZ segment (shared by probe/decode)."""
     cs = _extract_codestream(bytes(data))
     if cs[:2] != b"\xff\x4f":
         raise CodecError("missing SOC")
@@ -1369,13 +1369,18 @@ def j2k_probe(data: bytes) -> Tuple[int, int, int, int, bool]:
         marker = int.from_bytes(cs[i : i + 2], "big")
         seglen = int.from_bytes(cs[i + 2 : i + 4], "big")
         if marker == _SIZ:
-            siz = _Siz(cs[i + 4 : i + 2 + seglen])
-            return (siz.ysiz - siz.yosiz, siz.xsiz - siz.xosiz, siz.ncomp,
-                    siz.prec[0], siz.signed[0])
+            return _Siz(cs[i + 4 : i + 2 + seglen])
         if marker == _SOT:
             break
         i += 2 + seglen
     raise CodecError("missing SIZ")
+
+
+def j2k_probe(data: bytes) -> Tuple[int, int, int, int, bool]:
+    """Header-only parse → (rows, cols, ncomp, precision, signed)."""
+    siz = _find_siz(data)
+    return (siz.ysiz - siz.yosiz, siz.xsiz - siz.xosiz, siz.ncomp,
+            siz.prec[0], siz.signed[0])
 
 
 def j2k_decode(data: bytes) -> np.ndarray:
@@ -1387,6 +1392,18 @@ def j2k_decode(data: bytes) -> np.ndarray:
     lib = get_lib()
     if lib is not None and hasattr(lib, "j2k_decode"):
         import ctypes
+
+        # The wrapper casts ALL components to one dtype derived from
+        # component 0, which is only correct when precision/sign are uniform
+        # across components. Heterogeneous streams (legal per T.800, rare in
+        # practice) take the Python oracle, which keeps per-component dtypes
+        # and promotes mixed stacks to int32.
+        try:
+            siz = _find_siz(bytes(data))
+        except CodecError:
+            siz = None
+        if siz is not None and (len(set(siz.prec)) > 1 or len(set(siz.signed)) > 1):
+            return j2k_decode_py(data)
 
         rows = ctypes.c_int()
         cols = ctypes.c_int()

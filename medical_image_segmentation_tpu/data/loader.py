@@ -285,7 +285,7 @@ class Loader:
         params = make_view_params(
             self.seed, epoch, batch_index, len(idxs), in_h, in_w,
             n_views=pc["n_views"], scale=pc["scale"], ratio=pc["ratio"],
-            hflip_prob=pc["hflip_prob"],
+            hflip_prob=pc["hflip_prob"], shard=self.shard[0],
         )
         if self._native is not None:
             return self._native.fetch_views(

@@ -229,7 +229,7 @@ class NativeStore:
         num_threads: int = 4,
     ):
         """Host-side RandomResizedCrop fast path: decode each sample once and
-        emit V bilinear crop-resized views, view-major.
+        emit V bilinear crop-resized views, SAMPLE-major.
 
         ``params`` is float32 (B, V, 5) = (y0, x0, crop_h, crop_w, flip) per
         view in source-pixel coordinates (same convention as

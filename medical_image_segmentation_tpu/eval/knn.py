@@ -99,7 +99,10 @@ class KNNEvaluator:
     """Builds a feature bank with an ``embed_fn`` and scores a val loader.
 
     ``max_bank_size`` caps host+device memory: feature accumulation stops at
-    the first N train samples (deterministic under the loader's seed). At the
+    the first N train samples (deterministic under the loader's seed; with a
+    shuffled loader order — the trainer's default — the prefix of the epoch
+    permutation is a uniform sample of the train set without replacement, so
+    the cap does not bias the bank). At the
     canonical 1M-image store × 512-d f32 an unbounded bank is ~2 GB on top of
     the two-tower state; the cap plus ``bank_chunk_size`` keeps the probe
     runnable on one chip."""

@@ -659,6 +659,39 @@ class TestJPEGLS:
         arr = rng.integers(0, 256, size=(17, 19, 3)).astype(np.uint8)
         np.testing.assert_array_equal(jpeg_ls_decode_py(jpeg_ls_encode(arr)), arr)
 
+    def test_multicomponent_native_decode(self):
+        """The C++ decoder itself (no Python fallback) must handle ILV=0
+        multi-component streams. Regression: the buffered BitReader's bulk
+        refill rests br.pos one byte past the 0xFF of the next SOS marker,
+        so the next-scan search must start one byte back — without that,
+        every multi-component stream failed with rc=17 and RGB JLS stores
+        raised mis_fetch errors."""
+        from medical_image_segmentation_tpu.data.jpegls import jpeg_ls_encode
+        from medical_image_segmentation_tpu.data.store.native import get_lib
+
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "jpegls_decode"):
+            pytest.skip("native toolchain unavailable")
+        import ctypes
+
+        rng = np.random.default_rng(7)
+        y, x = np.mgrid[0:23, 0:31]
+        cases = [
+            rng.integers(0, 256, size=(23, 31, 3)).astype(np.uint16),     # noise
+            np.stack([(y * 3 + x * (c + 1)) % 256 for c in range(4)],
+                     axis=-1).astype(np.uint16),                          # runs
+            rng.integers(0, 4096, size=(9, 13, 2)).astype(np.uint16),
+        ]
+        precs = [8, 8, 12]
+        for arr, prec in zip(cases, precs):
+            blob = jpeg_ls_encode(arr, precision=prec)
+            out = np.empty(arr.size, np.uint16)
+            rc = lib.jpegls_decode(
+                blob, len(blob),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), out.size)
+            assert rc == 0, f"C++ decode rc={rc} for shape={arr.shape} prec={prec}"
+            np.testing.assert_array_equal(out.reshape(arr.shape), arr)
+
     def test_probe(self):
         from medical_image_segmentation_tpu.data.jpegls import (
             jpeg_ls_encode, jpeg_ls_probe)
@@ -1067,6 +1100,33 @@ class TestJpeg2000Native:
             b = j2k_decode_py(blob)
             assert a.dtype == b.dtype and a.shape == b.shape
             np.testing.assert_array_equal(a, b)
+
+    def test_mixed_precision_components_match_oracle(self):
+        """Per-component precision is legal per T.800; the C++ wrapper casts
+        everything to component 0's dtype, so heterogeneous streams must
+        route to the Python oracle (int32-promoted stack), not wrap modulo
+        256. The fixture patches component 1's Ssiz byte of a uniform
+        2-component encode from prec 8 to prec 12 — the DC level shift then
+        rebases comp 1 around 2048, past uint8 range."""
+        from medical_image_segmentation_tpu.data.jpeg2000 import (
+            j2k_decode, j2k_decode_py, j2k_probe)
+        from medical_image_segmentation_tpu.data.jpeg2000_encode import j2k_encode
+
+        rng = np.random.default_rng(27)
+        arr = rng.integers(0, 128, size=(24, 24, 2)).astype(np.uint8)
+        blob = bytearray(j2k_encode(arr))
+        # SOC(2) + SIZ marker(2) + Lsiz(2) + 36-byte fixed SIZ body, then
+        # 3 bytes (Ssiz, XRsiz, YRsiz) per component → comp 1's Ssiz at 45
+        assert blob[42] == 7 and blob[45] == 7, "fixture layout changed"
+        blob[45] = 11  # precision 12, unsigned
+        blob = bytes(blob)
+        want = j2k_decode_py(blob)
+        assert want.dtype == np.int32  # mixed stack promoted by the oracle
+        assert want[..., 1].max() > 255  # comp 1 really rebased past uint8
+        got = j2k_decode(blob)  # dispatch entry: must NOT take the C++ cast
+        assert got.dtype == want.dtype
+        np.testing.assert_array_equal(got, want)
+        assert j2k_probe(blob)[2] == 2
 
 
 class TestJpeg2000Encoder:

@@ -55,6 +55,35 @@ class TestWindowSampling:
         assert not np.array_equal(a, c)
         assert a.shape == (16, 2, 5)
 
+    def test_params_distinct_per_host_shard(self):
+        """Each host must draw its own window stream: the shards hold
+        different slices of the global batch, so identical per-slot windows
+        across hosts would cut augmentation diversity by the host count
+        (regression: the shard id was not folded into the seed)."""
+        a = make_view_params(7, 3, 11, 16, 64, 64, shard=0)
+        b = make_view_params(7, 3, 11, 16, 64, 64, shard=1)
+        assert not np.array_equal(a, b)
+
+    def test_loader_folds_shard_into_windows(self, tmp_path):
+        """Two loaders over the same store that differ only in host shard
+        must decode different views for their (distinct) samples."""
+        import numpy as np
+
+        from medical_image_segmentation_tpu.data.loader import SEQUENTIAL, Loader
+        from medical_image_segmentation_tpu.data.store import StoreWriter
+
+        rng = np.random.default_rng(0)
+        p = str(tmp_path / "t.mis")
+        img = rng.integers(0, 256, size=(64, 64, 1)).astype(np.uint8)
+        with StoreWriter(p, channels=1) as w:
+            for _ in range(4):
+                w.add(img)  # identical images: only the windows can differ
+        pc = dict(out_hw=(16, 16), n_views=2)
+        kw = dict(batch_size=2, order=SEQUENTIAL, prefetch=0, seed=5, precrop=pc)
+        a = next(iter(Loader(p, shard=(0, 2), **kw)))[0]
+        b = next(iter(Loader(p, shard=(1, 2), **kw)))[0]
+        assert not np.array_equal(a, b), "hosts decoded identical windows"
+
     def test_distribution_matches_device_sampler(self):
         """Same (scale, ratio) semantics as ops.augment.sample_rrc_window:
         compare area and aspect distributions (moments) between host and

@@ -389,6 +389,29 @@ class TestRGBConvention:
                 assert abs(px[0] - 200) <= tol and abs(px[2] - 20) <= tol, \
                     f"native reader channel swap at sample {i}: {px}"
 
+    def test_rgb_jls_store_native_fetch(self, tmp_path):
+        """3-channel JPEG-LS samples decode through the native loader.
+        Regression: the C++ JPEG-LS decoder failed on every multi-component
+        (ILV=0) stream — the next-SOS scan started past the marker the
+        buffered bit reader had already touched — so RGB JLS stores written
+        by StoreWriter raised mis_fetch errors at training time."""
+        from medical_image_segmentation_tpu.data.store import CODEC_JLS
+        from medical_image_segmentation_tpu.data.store.native import NativeStore, get_lib
+
+        if get_lib() is None:
+            pytest.skip("native toolchain unavailable")
+        p = str(tmp_path / "rgb_jls.mis")
+        rng = np.random.default_rng(11)
+        imgs = rng.integers(0, 256, size=(6, 40, 40, 3)).astype(np.uint8)
+        with StoreWriter(p, channels=3, with_labels=True) as w:
+            for i in range(len(imgs)):
+                w.add(imgs[i], label=i, codec=CODEC_JLS)
+        ns = NativeStore(p)
+        out, labels = ns.fetch(np.arange(len(imgs), dtype=np.int64), num_threads=2)
+        np.testing.assert_array_equal(out, imgs)
+        np.testing.assert_array_equal(labels, np.arange(len(imgs)))
+        ns.close()
+
 
 class TestU16Store:
     """16-bit (HU-native) stores — header FLAG_U16, codecs RAW/PNG16/JLS.
