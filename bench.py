@@ -202,6 +202,76 @@ def _seg3d_bench(args):
     return 0
 
 
+def _predict_bench(args):
+    """Serving-path inference throughput: the exact jitted function
+    `train/predict.py` deploys (uint8 in → normalize → U-Net eval forward →
+    sigmoid-threshold mask out), batched, bf16. Reports img/s/chip plus
+    per-batch latency percentiles — the deployment-relevant numbers the
+    reference cannot produce (its only predict path is trainer.predict grid
+    dumps, reference train_segmentation.py:82-93)."""
+    import jax
+    import jax.numpy as jnp
+
+    from medical_image_segmentation_tpu.ops.dice import post_process_masks
+    from medical_image_segmentation_tpu.parallel import make_mesh, replicated, shard_batch
+    from medical_image_segmentation_tpu.train.segmentation_task import SegmentationTask
+
+    if args.store is not None or args.precrop:
+        raise SystemExit("--task predict benchmarks device-resident batches")
+    n_chips = len(jax.devices())
+    if args.batch_size % n_chips:
+        raise SystemExit(f"--batch_size {args.batch_size} must divide {n_chips} devices")
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    task = SegmentationTask(
+        arch=args.arch, n_classes=1, in_channels=1, learning_rate=1.0,
+        warmup_epochs=0, max_epochs=1, steps_per_epoch=1, dtype=dtype,
+    )
+    mesh = make_mesh()
+    state = task.init(jax.random.key(0), (2, args.image_size, args.image_size, 1))
+    state = jax.device_put(state, replicated(mesh))
+    mean, std = np.float32(0.2089), np.float32(0.2109)  # liver registry stats
+
+    @jax.jit
+    def predict(state, imgs_u8):
+        x = (imgs_u8.astype(dtype) / np.float32(255.0) - mean) / std
+        logits = task.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats}, x, train=False)
+        return post_process_masks(logits, threshold=0.5)
+
+    rng = np.random.default_rng(0)
+    imgs = shard_batch(mesh, rng.integers(
+        0, 256, size=(args.batch_size, args.image_size, args.image_size, 1)).astype(np.uint8))
+    for _ in range(args.warmup):
+        masks = predict(state, imgs)
+    int(np.asarray(masks)[0, 0, 0, 0])  # host fence (axon: block_until_ready lies)
+    lat = []
+    for _ in range(args.steps):
+        t0 = time.perf_counter()
+        masks = predict(state, imgs)
+        int(np.asarray(masks)[0, 0, 0, 0])  # fence every batch: true latency
+        lat.append(time.perf_counter() - t0)
+    lat = np.array(lat)
+    dt = float(lat.sum())
+    per_chip = args.batch_size * args.steps / dt / n_chips
+    flops = _step_flops(predict, state, imgs)
+    peak = _peak_flops_per_chip()
+    mfu = round(flops * args.steps / dt / (peak * n_chips), 4) if flops and peak else None
+    print(f"[predict] total={per_chip*n_chips:.0f} img/s "
+          f"(batch {args.batch_size} @ {args.image_size}², "
+          f"p50 {np.percentile(lat,50)*1e3:.1f} ms, p99 {np.percentile(lat,99)*1e3:.1f} ms)",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "predict_images_per_sec_per_chip",
+        "value": round(per_chip, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / 5000.0, 3),
+        "task": "predict", "mfu": mfu,
+        "batch_latency_ms_p50": round(float(np.percentile(lat, 50)) * 1e3, 2),
+        "batch_latency_ms_p99": round(float(np.percentile(lat, 99)) * 1e3, 2),
+    }))
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch_size", type=int, default=None,
@@ -211,6 +281,8 @@ def main():
     ap.add_argument("--arch", default="resnet18")
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--fp32", action="store_true",
+                    help="predict: f32 activations instead of bf16")
     ap.add_argument("--store", default=None,
                     help="feed from a real MIS store through the C++ loader "
                          "('auto' synthesizes one); default: device-resident batch")
@@ -228,12 +300,14 @@ def main():
                     help="checkpoint residual blocks (fit bigger archs/batches)")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of the timed steps to DIR")
-    ap.add_argument("--task", default="byol", choices=["byol", "seg", "seg3d"],
+    ap.add_argument("--task", default="byol", choices=["byol", "seg", "seg3d", "predict"],
                     help="seg: U-Net(arch) segmentation train step with "
                          "device-side paired augmentation (canonical config: "
                          "--task seg --batch_size 128 --image_size 224); "
                          "seg3d: volumetric 3D U-Net train step (--volume_size/"
                          "--crop3d, e.g. --task seg3d --batch_size 4); "
+                         "predict: serving-path U-Net inference (img/s/chip + "
+                         "per-batch latency percentiles); "
                          "device-resident batches only")
     ap.add_argument("--volume_size", type=int, nargs=3, default=(64, 96, 96),
                     metavar=("D", "H", "W"), help="seg3d: stored volume shape")
@@ -241,7 +315,7 @@ def main():
                     metavar=("D", "H", "W"), help="seg3d: random train crop")
     args = ap.parse_args()
     if args.batch_size is None:
-        args.batch_size = {"byol": 1024, "seg": 128, "seg3d": 4}[args.task]
+        args.batch_size = {"byol": 1024, "seg": 128, "seg3d": 4, "predict": 256}[args.task]
 
     # Fail FAST if the remote-TPU tunnel is down: the axon plugin's first
     # jax.devices() call otherwise blocks indefinitely (shared guard with
@@ -257,6 +331,8 @@ def main():
         return _seg_bench(args)
     if args.task == "seg3d":
         return _seg3d_bench(args)
+    if args.task == "predict":
+        return _predict_bench(args)
 
     from medical_image_segmentation_tpu.ops.augment import BYOL_VIEW1, BYOL_VIEW2
     from medical_image_segmentation_tpu.ops.pallas_augment import pallas_two_view_augment

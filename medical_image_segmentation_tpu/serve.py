@@ -1,0 +1,171 @@
+"""AOT-exported serving artifacts (``.misx``).
+
+``mis-export`` (train/export.py) serializes the EXACT inference function
+``mis-predict`` deploys — uint8 batch → normalize → U-Net eval forward →
+sigmoid-threshold mask — with the trained weights baked in as constants, via
+``jax.export``. The artifact is a single self-contained file: serving hosts
+deserialize and call it with NO model code, NO checkpoint restore, and NO
+tracing/compile-from-Python step (XLA consumes the embedded StableHLO
+directly). This is the deployment story the reference lacks entirely: its
+only inference path is ``trainer.predict`` grid dumps inside the training
+script (reference ``train_segmentation.py:82-93``).
+
+Design notes (TPU-first):
+- **Static batch buckets.** One exported function per batch size keeps every
+  serving shape static for the MXU; the predictor routes a request to the
+  smallest bucket that fits and pads the tail (padding rows repeat the last
+  sample and are trimmed before returning).
+- **Multi-platform lowering.** ``platforms=("tpu", "cpu")`` bakes both
+  lowerings into one artifact, so the same file serves on a TPU host and in
+  a CPU canary/CI environment.
+- **Size scales with buckets.** jax.export has no cross-function constant
+  sharing, so every batch bucket embeds its own copy of the weights —
+  artifact size ≈ n_buckets × params (halved by the default bf16 export).
+  Pick the few bucket sizes the serving tier actually uses.
+
+Container layout: ``MISX1\\n`` magic, a u32 little-endian JSON-header
+length, the JSON header ``{"meta": ..., "buckets": {"<B>": [offset, size]}}``
+(offsets relative to the end of the header), then the concatenated
+``jax.export`` blobs.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Dict, Iterable, Optional, Sequence
+
+import numpy as np
+
+_MAGIC = b"MISX1\n"
+
+
+def export_predictor(
+    task,
+    state,
+    image_size: int,
+    mean: float,
+    std: float,
+    threshold: float = 0.5,
+    batch_sizes: Sequence[int] = (1, 8, 64),
+    platforms: Optional[Sequence[str]] = None,
+    fp32: bool = False,
+):
+    """Export the serving function at each batch bucket → {B: Exported}.
+
+    ``task`` is a SegmentationTask, ``state`` its (restored) TrainState; the
+    weights are embedded in the artifact as constants.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from medical_image_segmentation_tpu.ops.dice import post_process_masks
+
+    dtype = jnp.float32 if fp32 else jnp.bfloat16
+    variables = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+    }
+
+    def fn(imgs_u8):
+        x = (imgs_u8.astype(dtype) / np.float32(255.0)
+             - np.float32(mean)) / np.float32(std)
+        logits = task.model.apply(variables, x, train=False)
+        return post_process_masks(logits, threshold=threshold).astype(jnp.uint8)
+
+    out = {}
+    for b in sorted(set(int(b) for b in batch_sizes)):
+        if b < 1:
+            raise ValueError(f"batch bucket must be >= 1, got {b}")
+        spec = jax.ShapeDtypeStruct((b, image_size, image_size, 1), jnp.uint8)
+        out[b] = jax.export.export(
+            jax.jit(fn), platforms=list(platforms) if platforms else None)(spec)
+    return out
+
+
+def save_predictor(path: str, exported: Dict[int, object], meta: dict) -> None:
+    """Write {batch: Exported} + metadata as one ``.misx`` container."""
+    blobs = {int(b): bytes(e.serialize()) for b, e in exported.items()}
+    buckets = {}
+    offset = 0
+    for b in sorted(blobs):
+        buckets[str(b)] = [offset, len(blobs[b])]
+        offset += len(blobs[b])
+    header = json.dumps({"meta": meta, "buckets": buckets}).encode()
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<I", len(header)))
+        f.write(header)
+        for b in sorted(blobs):
+            f.write(blobs[b])
+
+
+class ServingPredictor:
+    """A loaded ``.misx`` artifact: call with a (N, S, S, 1) uint8 batch of
+    any N; returns (N, S, S, 1) uint8 0/1 masks. Buckets deserialize lazily
+    and are cached (first call per bucket pays the XLA consume/compile)."""
+
+    def __init__(self, meta: dict, blobs: Dict[int, bytes]):
+        self.meta = meta
+        self._blobs = blobs
+        self._fns: Dict[int, object] = {}
+
+    @property
+    def image_size(self) -> int:
+        return int(self.meta["image_size"])
+
+    @property
+    def batch_sizes(self):
+        return sorted(self._blobs)
+
+    def _bucket_fn(self, b: int):
+        if b not in self._fns:
+            import jax
+
+            self._fns[b] = jax.export.deserialize(bytearray(self._blobs[b]))
+        return self._fns[b]
+
+    def __call__(self, imgs_u8: np.ndarray) -> np.ndarray:
+        imgs_u8 = np.ascontiguousarray(imgs_u8, np.uint8)
+        if imgs_u8.ndim != 4 or imgs_u8.shape[-1] != 1:
+            raise ValueError(f"expected (N, S, S, 1) uint8, got {imgs_u8.shape}")
+        s = self.image_size
+        if imgs_u8.shape[1:3] != (s, s):
+            raise ValueError(
+                f"artifact was exported for {s}x{s} inputs, got {imgs_u8.shape[1:3]}")
+        n = imgs_u8.shape[0]
+        sizes = self.batch_sizes
+        out = np.empty((n, s, s, 1), np.uint8)
+        i = 0
+        while i < n:
+            rem = n - i
+            b = next((x for x in sizes if x >= rem), sizes[-1])
+            take = min(rem, b)
+            chunk = imgs_u8[i : i + take]
+            if take < b:  # pad the tail by repeating the last sample
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], b - take, axis=0)], axis=0)
+            masks = self._bucket_fn(b).call(chunk)
+            out[i : i + take] = np.asarray(masks)[:take]
+            i += take
+        return out
+
+
+def load_predictor(path: str) -> ServingPredictor:
+    """Read a ``.misx`` container → ServingPredictor (blobs held in memory,
+    deserialized per bucket on first use)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[: len(_MAGIC)] != _MAGIC:
+        raise ValueError(f"{path}: not a .misx artifact (bad magic)")
+    (hlen,) = struct.unpack_from("<I", data, len(_MAGIC))
+    hstart = len(_MAGIC) + 4
+    header = json.loads(data[hstart : hstart + hlen])
+    base = hstart + hlen
+    blobs = {}
+    for b, (off, size) in header["buckets"].items():
+        blob = data[base + off : base + off + size]
+        if len(blob) != size:
+            raise ValueError(f"{path}: truncated artifact (bucket {b})")
+        blobs[int(b)] = blob
+    return ServingPredictor(header["meta"], blobs)

@@ -40,8 +40,11 @@ import numpy as np
 
 def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     ap = argparse.ArgumentParser(description="Batched U-Net mask inference (TPU-native serving)")
-    ap.add_argument("--checkpoint", required=True,
+    ap.add_argument("--checkpoint", default=None,
                     help="segmentation checkpoint directory (latest step) or a specific step path")
+    ap.add_argument("--exported", default=None,
+                    help="serve from an AOT .misx artifact (mis-export) instead of a "
+                         "checkpoint: no model code or restore, batched mode only")
     ap.add_argument("--arch", default="resnet18")
     ap.add_argument("--image_size", type=int, default=224,
                     help="network input size in batched mode (matches training)")
@@ -114,6 +117,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     args = parse_args(argv)
     if (args.images_dir is None) == (args.image_store is None):
         raise SystemExit("exactly one of --images_dir / --image_store is required")
+    if (args.checkpoint is None) == (args.exported is None):
+        raise SystemExit("exactly one of --checkpoint / --exported is required")
+    if args.exported is not None and args.sliding_window:
+        raise SystemExit("--exported serves the batched AOT function; "
+                         "--sliding_window needs --checkpoint")
 
     import jax
     import jax.numpy as jnp
@@ -123,47 +131,64 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     from medical_image_segmentation_tpu.parallel import make_mesh, replicated, shard_batch
     from medical_image_segmentation_tpu.train.segmentation_task import SegmentationTask
 
-    # normalization stats: explicit flags win, else the datamodule registry
-    mean, std = args.mean, args.std
-    if mean is None or std is None:
-        if args.dataset is None:
-            raise SystemExit("pass --dataset (registry stats) or --mean/--std")
-        from medical_image_segmentation_tpu.data.datamodules import get_datamodule
+    predictor = None
+    if args.exported is not None:
+        # AOT artifact: weights, normalize stats and threshold are baked in;
+        # the serving host needs no model code and no checkpoint restore.
+        from medical_image_segmentation_tpu.serve import load_predictor
 
-        dm = get_datamodule(args.dataset)()
-        mean = mean if mean is not None else float(dm.mean[0])
-        std = std if std is not None else float(dm.std[0])
+        predictor = load_predictor(args.exported)
+        args.image_size = predictor.image_size
+        args.batch_size = max(predictor.batch_sizes)
+        print(f"loaded {args.exported} (step {predictor.meta.get('checkpoint_step')}, "
+              f"buckets {predictor.batch_sizes})", file=sys.stderr)
+        os.makedirs(args.output_dir, exist_ok=True)
+        if args.overlay_dir:
+            os.makedirs(args.overlay_dir, exist_ok=True)
+        size = args.image_size
+        mesh = state = predict = None
+    else:
+        # normalization stats: explicit flags win, else the datamodule registry
+        mean, std = args.mean, args.std
+        if mean is None or std is None:
+            if args.dataset is None:
+                raise SystemExit("pass --dataset (registry stats) or --mean/--std")
+            from medical_image_segmentation_tpu.data.datamodules import get_datamodule
 
-    task = SegmentationTask(
-        arch=args.arch, n_classes=1, in_channels=1,
-        learning_rate=1.0, warmup_epochs=0, max_epochs=1, steps_per_epoch=1,
-        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-    )
-    state = task.init(jax.random.key(0), (2, args.image_size, args.image_size, 1))
-    ckpt = args.checkpoint
-    if os.path.isdir(ckpt) and not os.path.basename(ckpt).isdigit():
-        step = latest_step(ckpt)
-        if step is None:
-            raise SystemExit(f"no checkpoint steps under {ckpt}")
-        ckpt = os.path.join(ckpt, str(step))
-    state = restore_checkpoint(ckpt, state)
-    print(f"restored {ckpt} (step {int(np.asarray(state.step))})", file=sys.stderr)
+            dm = get_datamodule(args.dataset)()
+            mean = mean if mean is not None else float(dm.mean[0])
+            std = std if std is not None else float(dm.std[0])
 
-    mesh = make_mesh()
-    state = jax.device_put(state, replicated(mesh))
-    os.makedirs(args.output_dir, exist_ok=True)
-    if args.overlay_dir:
-        os.makedirs(args.overlay_dir, exist_ok=True)
+        task = SegmentationTask(
+            arch=args.arch, n_classes=1, in_channels=1,
+            learning_rate=1.0, warmup_epochs=0, max_epochs=1, steps_per_epoch=1,
+            dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        )
+        state = task.init(jax.random.key(0), (2, args.image_size, args.image_size, 1))
+        ckpt = args.checkpoint
+        if os.path.isdir(ckpt) and not os.path.basename(ckpt).isdigit():
+            step = latest_step(ckpt)
+            if step is None:
+                raise SystemExit(f"no checkpoint steps under {ckpt}")
+            ckpt = os.path.join(ckpt, str(step))
+        state = restore_checkpoint(ckpt, state)
+        print(f"restored {ckpt} (step {int(np.asarray(state.step))})", file=sys.stderr)
 
-    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    size = args.image_size
+        mesh = make_mesh()
+        state = jax.device_put(state, replicated(mesh))
+        os.makedirs(args.output_dir, exist_ok=True)
+        if args.overlay_dir:
+            os.makedirs(args.overlay_dir, exist_ok=True)
 
-    @jax.jit
-    def predict(state, imgs_u8):
-        x = (imgs_u8.astype(dtype) / np.float32(255.0) - np.float32(mean)) / np.float32(std)
-        logits = task.model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats}, x, train=False)
-        return post_process_masks(logits, threshold=args.threshold)
+        dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+        size = args.image_size
+
+        @jax.jit
+        def predict(state, imgs_u8):
+            x = (imgs_u8.astype(dtype) / np.float32(255.0) - np.float32(mean)) / np.float32(std)
+            logits = task.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats}, x, train=False)
+            return post_process_masks(logits, threshold=args.threshold)
 
     # ---- input enumeration -------------------------------------------------
     t0 = time.time()
@@ -221,8 +246,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             nonlocal n_done
             if not names:
                 return
-            b = shard_batch(mesh, buf)  # padded tail reuses the last slice
-            masks = np.asarray(predict(state, b))[..., 0]
+            if predictor is not None:  # AOT artifact: buckets + pads itself
+                masks = predictor(buf[: len(names)])[..., 0]
+            else:
+                b = shard_batch(mesh, buf)  # padded tail reuses the last slice
+                masks = np.asarray(predict(state, b))[..., 0]
             for j, (name, shape) in enumerate(zip(names, shapes)):
                 mask = masks[j]
                 if shape != mask.shape:
@@ -249,6 +277,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         "unit": "images/sec",
         "images": n_done,
         "mode": "sliding_window" if args.sliding_window else "batched",
+        "exported": args.exported is not None,
     }))
     return 0
 
