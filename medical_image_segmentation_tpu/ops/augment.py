@@ -350,7 +350,8 @@ def two_view_tail_augment(
     return v1, v2
 
 
-@partial(jax.jit, static_argnames=("out_size", "mean", "std", "train", "dtype"))
+@partial(jax.jit, static_argnames=("out_size", "mean", "std", "train", "dtype",
+                                   "value_scale", "hu_windows"))
 def segmentation_augment(
     rng: jax.Array,
     images: jax.Array,           # (B, H, W, 1) float 0..1 or uint8 0..255
@@ -361,13 +362,23 @@ def segmentation_augment(
     train: bool = True,
     value_scale: float = 1.0 / 255.0,
     dtype=jnp.bfloat16,
+    hu_windows: Tuple[Tuple[float, float], ...] = (),
 ):
     """Paired image/mask pipeline (reference `DecathlonDataModule`,
     `lightning_module.py:580-721` + paired flips in
     `pytorch_datasets.py:284-293`): resize to ``out_size`` (bilinear for
     image, NEAREST for mask), shared random h/v flips at train time,
     ColorJitter(0.2, 0.2) on the image only, normalize with dataset stats
-    (0-1 scale)."""
+    (0-1 scale).
+
+    ``hu_windows``: optional fixed (level, width) pairs on the 0..1 scaled
+    intensity axis — each becomes an input CHANNEL (clip((x-lo)/width, 0, 1)),
+    the "view it like a radiologist" multi-window representation (PAPERS.md):
+    the network sees every configured display window at full contrast instead
+    of one squashed ramp. Deterministic (train AND eval — it is an input
+    representation, not an augmentation); a single-entry mean/std broadcasts
+    across the window channels. Pays off most on 16-bit HU-native stores
+    where the windows address the full dynamic range."""
     b, in_h, in_w, _ = images.shape
     out_h, out_w = out_size
     zeros = jnp.zeros((b,))
@@ -400,7 +411,46 @@ def segmentation_augment(
         m = jnp.mean(img, axis=(1, 2, 3), keepdims=True)
         img = jnp.clip(m + fc * (img - m), 0.0, 1.0)
 
+    img = apply_hu_windows(img, hu_windows)
     mean_a = jnp.asarray(mean, jnp.float32).reshape(1, 1, 1, -1)
     std_a = jnp.asarray(std, jnp.float32).reshape(1, 1, 1, -1)
     img = ((img - mean_a) / std_a).astype(dtype)
     return img, msk
+
+
+def parse_hu_windows(spec: str, value_max: float = 255.0) -> Tuple[Tuple[float, float], ...]:
+    """Parse a CLI windows spec ``"L:W,L:W,…"`` (level:width in STORED value
+    units — 0-255 for uint8 stores, 0-65535 for FLAG_U16) → (level, width)
+    pairs on the 0..1 scale `segmentation_augment` expects."""
+    out = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        try:
+            lv, wd = (float(t) for t in part.split(":"))
+        except ValueError:
+            raise ValueError(f"bad window {part!r}: expected LEVEL:WIDTH") from None
+        if wd <= 0:
+            raise ValueError(f"bad window {part!r}: width must be > 0")
+        out.append((lv / value_max, wd / value_max))
+    if not out:
+        raise ValueError(f"no windows in spec {spec!r}")
+    return tuple(out)
+
+
+def apply_hu_windows(
+    img: jax.Array,  # (..., 1) intensities on the 0..1 scale
+    hu_windows: Tuple[Tuple[float, float], ...],
+) -> jax.Array:
+    """Stack fixed (level, width) display windows as channels: channel c is
+    ``clip((x - (level_c - width_c/2)) / width_c, 0, 1)``. No-op when
+    ``hu_windows`` is empty. One elementwise pass — XLA fuses it into the
+    surrounding normalize."""
+    if not hu_windows:
+        return img
+    chans = [
+        jnp.clip((img - (float(lv) - float(wd) / 2.0)) / float(wd), 0.0, 1.0)
+        for lv, wd in hu_windows
+    ]
+    return jnp.concatenate(chans, axis=-1)

@@ -50,6 +50,7 @@ def export_predictor(
     batch_sizes: Sequence[int] = (1, 8, 64),
     platforms: Optional[Sequence[str]] = None,
     fp32: bool = False,
+    hu_windows: Sequence = (),
 ):
     """Export the serving function at each batch bucket → {B: Exported}.
 
@@ -67,9 +68,14 @@ def export_predictor(
         "batch_stats": jax.device_get(state.batch_stats),
     }
 
+    from medical_image_segmentation_tpu.ops.augment import apply_hu_windows
+
+    hu_windows = tuple(tuple(w) for w in hu_windows)
+
     def fn(imgs_u8):
-        x = (imgs_u8.astype(dtype) / np.float32(255.0)
-             - np.float32(mean)) / np.float32(std)
+        x = imgs_u8.astype(jnp.float32) / np.float32(255.0)
+        x = apply_hu_windows(x, hu_windows)  # no-op when () — 1 channel
+        x = ((x - np.float32(mean)) / np.float32(std)).astype(dtype)
         logits = task.model.apply(variables, x, train=False)
         return post_process_masks(logits, threshold=threshold).astype(jnp.uint8)
 

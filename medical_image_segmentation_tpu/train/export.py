@@ -34,6 +34,9 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     ap.add_argument("--mean", type=float, default=None, help="override normalization mean (0-1 scale)")
     ap.add_argument("--std", type=float, default=None, help="override normalization std (0-1 scale)")
     ap.add_argument("--threshold", type=float, default=0.5, help="sigmoid cut baked into the artifact")
+    ap.add_argument("--hu_windows", default=None, metavar="L:W,L:W,…",
+                    help="fixed display windows stacked as input channels — must match "
+                         "the --hu_windows the checkpoint trained with; baked into the artifact")
     ap.add_argument("--batch_sizes", default="1,8,64",
                     help="comma-separated static batch buckets to export (requests are "
                          "routed to the smallest bucket that fits, tail-padded)")
@@ -65,12 +68,16 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         mean = mean if mean is not None else float(dm.mean[0])
         std = std if std is not None else float(dm.std[0])
 
+    from medical_image_segmentation_tpu.ops.augment import parse_hu_windows
+
+    hu_windows = parse_hu_windows(args.hu_windows) if args.hu_windows else ()
+    in_ch = len(hu_windows) if hu_windows else 1
     task = SegmentationTask(
-        arch=args.arch, n_classes=1, in_channels=1,
+        arch=args.arch, n_classes=1, in_channels=in_ch,
         learning_rate=1.0, warmup_epochs=0, max_epochs=1, steps_per_epoch=1,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
-    state = task.init(jax.random.key(0), (2, args.image_size, args.image_size, 1))
+    state = task.init(jax.random.key(0), (2, args.image_size, args.image_size, in_ch))
     ckpt = args.checkpoint
     if os.path.isdir(ckpt) and not os.path.basename(ckpt).isdigit():
         step = latest_step(ckpt)
@@ -85,7 +92,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     exported = export_predictor(
         task, state, image_size=args.image_size, mean=mean, std=std,
         threshold=args.threshold, batch_sizes=batch_sizes, platforms=platforms,
-        fp32=not args.bf16,
+        fp32=not args.bf16, hu_windows=hu_windows,
     )
     meta = {
         "arch": args.arch,
@@ -93,6 +100,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         "mean": mean,
         "std": std,
         "threshold": args.threshold,
+        "hu_windows": [list(w) for w in hu_windows],
         "batch_sizes": sorted(exported),
         "platforms": platforms or [jax.default_backend()],
         "checkpoint_step": int(np.asarray(state.step)),

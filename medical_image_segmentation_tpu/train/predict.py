@@ -58,6 +58,9 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     ap.add_argument("--overlay_dir", default=None, help="also write red-overlay PNGs here")
     ap.add_argument("--batch_size", type=int, default=64)
     ap.add_argument("--threshold", type=float, default=0.5, help="sigmoid cut for the binary mask")
+    ap.add_argument("--hu_windows", default=None, metavar="L:W,L:W,…",
+                    help="fixed display windows stacked as input channels — must match "
+                         "the --hu_windows the checkpoint trained with")
     ap.add_argument("--sliding_window", type=int, default=0,
                     help=">0: full-resolution inference with blended windows of this size")
     ap.add_argument("--num_workers", type=int,
@@ -159,12 +162,16 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             mean = mean if mean is not None else float(dm.mean[0])
             std = std if std is not None else float(dm.std[0])
 
+        from medical_image_segmentation_tpu.ops.augment import parse_hu_windows
+
+        hu_windows = parse_hu_windows(args.hu_windows) if args.hu_windows else ()
+        in_ch = len(hu_windows) if hu_windows else 1
         task = SegmentationTask(
-            arch=args.arch, n_classes=1, in_channels=1,
+            arch=args.arch, n_classes=1, in_channels=in_ch,
             learning_rate=1.0, warmup_epochs=0, max_epochs=1, steps_per_epoch=1,
             dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         )
-        state = task.init(jax.random.key(0), (2, args.image_size, args.image_size, 1))
+        state = task.init(jax.random.key(0), (2, args.image_size, args.image_size, in_ch))
         ckpt = args.checkpoint
         if os.path.isdir(ckpt) and not os.path.basename(ckpt).isdigit():
             step = latest_step(ckpt)
@@ -183,9 +190,13 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         dtype = jnp.bfloat16 if args.bf16 else jnp.float32
         size = args.image_size
 
+        from medical_image_segmentation_tpu.ops.augment import apply_hu_windows
+
         @jax.jit
         def predict(state, imgs_u8):
-            x = (imgs_u8.astype(dtype) / np.float32(255.0) - np.float32(mean)) / np.float32(std)
+            x = imgs_u8.astype(jnp.float32) / np.float32(255.0)
+            x = apply_hu_windows(x, hu_windows)  # no-op when () — 1 channel
+            x = ((x - np.float32(mean)) / np.float32(std)).astype(dtype)
             logits = task.model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats}, x, train=False)
             return post_process_masks(logits, threshold=args.threshold)
@@ -226,9 +237,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
         window_fn = make_unet_window_fn(task, jax.device_get(state))
         for name, img in batched_sources():
-            x = (img.astype(np.float32) / 255.0 - mean) / std
+            x = img.astype(np.float32)[..., None] / 255.0  # (H, W, 1)
+            if hu_windows:
+                x = np.asarray(apply_hu_windows(jnp.asarray(x), hu_windows))
+            x = (x - mean) / std
             logits = sliding_window_predict(
-                window_fn, jnp.asarray(x[..., None]), window=args.sliding_window,
+                window_fn, jnp.asarray(x), window=args.sliding_window,
                 mesh=mesh)  # window batches sharded over all chips
             mask = np.asarray(post_process_masks(logits, threshold=args.threshold))[..., 0]
             base = os.path.splitext(name)[0] + "_mask.png"

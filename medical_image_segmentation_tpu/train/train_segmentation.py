@@ -61,6 +61,11 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
                     help="orbax BYOL checkpoint to initialize the U-Net encoder from")
     ap.add_argument("--predict_grid", default=None, help="path for a pred/truth overlay grid PNG")
     ap.add_argument("--loss", default="dice", choices=["dice", "dice_ce"])
+    ap.add_argument("--hu_windows", default=None, metavar="L:W,L:W,…",
+                    help="fixed display windows (level:width, stored-value units) stacked "
+                         "as input channels — the 'view it like a radiologist' multi-window "
+                         "representation (PAPERS.md); applied at train, eval AND serving. "
+                         "e.g. '96:160,40:80,170:170' on a uint8 store")
     ap.add_argument("--seg_store_prefix", default="",
                     help="paired MIS store prefix from create_seg_store.py (C++ loader fast path)")
     ap.add_argument("--full_res_window", type=int, default=0,
@@ -112,14 +117,18 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     if args.limit_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, args.limit_steps_per_epoch)
 
+    from medical_image_segmentation_tpu.ops.augment import parse_hu_windows
+
+    hu_windows = parse_hu_windows(args.hu_windows) if args.hu_windows else ()
+    in_ch = len(hu_windows) if hu_windows else 1
     task = SegmentationTask(
-        arch=args.arch, n_classes=1, in_channels=1,
+        arch=args.arch, n_classes=1, in_channels=in_ch,
         learning_rate=args.learning_rate, weight_decay=args.weight_decay,
         warmup_epochs=args.warmup_epochs, max_epochs=args.max_epochs,
         min_lr=args.min_lr, steps_per_epoch=steps_per_epoch, loss=args.loss,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32, remat=args.remat,
     )
-    state = task.init(jax.random.key(args.seed), (2, args.image_size, args.image_size, 1))
+    state = task.init(jax.random.key(args.seed), (2, args.image_size, args.image_size, in_ch))
 
     if args.ssl_checkpoint:
         byol_vars = restore_checkpoint(args.ssl_checkpoint)
@@ -157,13 +166,14 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     @partial(jax.jit, donate_argnums=0)
     def train_step(state, imgs, msks, key):
         x, y = segmentation_augment(key, imgs, msks, out_size=size, mean=mean, std=std,
-                                    train=True, dtype=dtype)
+                                    train=True, dtype=dtype, hu_windows=hu_windows)
         return task.train_step(state, x, y)
 
     @jax.jit
     def eval_step(state, imgs, msks):
         x, y = segmentation_augment(jax.random.key(0), imgs, msks, out_size=size,
-                                    mean=mean, std=std, train=False, dtype=dtype)
+                                    mean=mean, std=std, train=False, dtype=dtype,
+                                    hu_windows=hu_windows)
         return task.eval_step(state, x, y)
 
     def run_eval(split: str):
@@ -273,11 +283,16 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         mean_a = np.asarray(mean, np.float32)
         std_a = np.asarray(std, np.float32)
         dices, ious = [], []
+        from medical_image_segmentation_tpu.ops.augment import apply_hu_windows
+
         for i in range(len(ds)):
             img, msk = ds[i]
-            x = (img.astype(np.float32) / 255.0 - mean_a) / std_a
+            x01 = img.astype(np.float32)[..., None] / 255.0  # (H, W, 1)
+            if hu_windows:  # same input representation the network trained on
+                x01 = np.asarray(apply_hu_windows(jnp.asarray(x01), hu_windows))
+            x = (x01 - mean_a) / std_a  # (H, W, C)
             logits = sliding_window_predict(
-                window_fn, jnp.asarray(x[..., None]), window=args.full_res_window,
+                window_fn, jnp.asarray(x), window=args.full_res_window,
                 mesh=mesh if nproc == 1 else None,  # all local chips serve windows
             )
             pred = post_process_masks(logits)
@@ -297,7 +312,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         loader = dm.loader("test", min(per_host, 16), shard=(0, 1))
         for imgs, msks in loader:
             x, y = segmentation_augment(jax.random.key(0), jnp.asarray(imgs), jnp.asarray(msks),
-                                        out_size=size, mean=mean, std=std, train=False, dtype=dtype)
+                                        out_size=size, mean=mean, std=std, train=False,
+                                        dtype=dtype, hu_windows=hu_windows)
             pred = task.predict_step(state, x)
             save_combined_image_grid(np.asarray(imgs), np.asarray(pred), np.asarray(msks), args.predict_grid)
             print(f"prediction grid → {args.predict_grid}", file=sys.stderr)

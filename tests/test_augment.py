@@ -205,3 +205,79 @@ class TestBlurMatrix:
         np.testing.assert_allclose(m.sum(axis=2), 1.0, atol=1e-5)
         # interior rows mirror each other around the diagonal
         np.testing.assert_allclose(m[0, 16, 10:23], m[0, 16, 22:9:-1], atol=1e-5)
+
+
+class TestMultiWindowChannels:
+    """Fixed multi-window channel stacking (PAPERS.md 'View it like a
+    radiologist'): each configured display window becomes an input channel,
+    deterministically at train, eval, and serving."""
+
+    def test_apply_hu_windows_values(self):
+        from medical_image_segmentation_tpu.ops.augment import apply_hu_windows
+
+        x = jnp.asarray(np.linspace(0.0, 1.0, 11, dtype=np.float32)[None, :, None, None])
+        out = np.asarray(apply_hu_windows(x, ((0.5, 0.5), (0.25, 0.1))))
+        assert out.shape == (1, 11, 1, 2)
+        # window (0.5, 0.5): lo=0.25 -> clip((x-0.25)/0.5)
+        np.testing.assert_allclose(
+            out[0, :, 0, 0], np.clip((np.linspace(0, 1, 11) - 0.25) / 0.5, 0, 1),
+            atol=1e-6)
+        # window (0.25, 0.1): saturates above 0.3
+        assert out[0, -1, 0, 1] == 1.0 and out[0, 0, 0, 1] == 0.0
+        # no-op when empty
+        np.testing.assert_array_equal(np.asarray(apply_hu_windows(x, ())), np.asarray(x))
+
+    def test_parse_hu_windows(self):
+        import pytest
+
+        from medical_image_segmentation_tpu.ops.augment import parse_hu_windows
+
+        assert parse_hu_windows("96:160,40:80") == ((96/255, 160/255), (40/255, 80/255))
+        with pytest.raises(ValueError, match="LEVEL:WIDTH"):
+            parse_hu_windows("96")
+        with pytest.raises(ValueError, match="width"):
+            parse_hu_windows("96:0")
+        with pytest.raises(ValueError, match="no windows"):
+            parse_hu_windows(",")
+
+    def test_segmentation_augment_stacks_channels(self):
+        from medical_image_segmentation_tpu.ops.augment import segmentation_augment
+
+        rng = np.random.default_rng(0)
+        imgs = rng.integers(0, 256, size=(2, 40, 40, 1)).astype(np.uint8)
+        msks = (rng.random((2, 40, 40, 1)) < 0.3).astype(np.uint8)
+        wins = ((0.4, 0.6), (0.2, 0.2), (0.7, 0.3))
+        x, y = segmentation_augment(
+            jax.random.key(0), jnp.asarray(imgs), jnp.asarray(msks),
+            out_size=(32, 32), mean=(0.5,), std=(0.25,), train=False,
+            dtype=jnp.float32, hu_windows=wins)
+        assert x.shape == (2, 32, 32, 3) and y.shape == (2, 32, 32, 1)
+        # channel c equals windowing the single-channel pipeline output
+        base, _ = segmentation_augment(
+            jax.random.key(0), jnp.asarray(imgs), jnp.asarray(msks),
+            out_size=(32, 32), mean=(0.0,), std=(1.0,), train=False,
+            dtype=jnp.float32)
+        for c, (lv, wd) in enumerate(wins):
+            want = (np.clip((np.asarray(base)[..., 0] - (lv - wd / 2)) / wd, 0, 1)
+                    - 0.5) / 0.25
+            np.testing.assert_allclose(np.asarray(x)[..., c], want, atol=1e-5)
+
+    def test_seg_task_trains_on_windowed_input(self):
+        """A 3-window U-Net takes a jitted train step and the loss is finite
+        (the in_channels plumbing end-to-end at task level)."""
+        from medical_image_segmentation_tpu.ops.augment import segmentation_augment
+        from medical_image_segmentation_tpu.train.segmentation_task import SegmentationTask
+
+        rng = np.random.default_rng(1)
+        task = SegmentationTask(arch="resnet18", n_classes=1, in_channels=3,
+                                learning_rate=0.1, warmup_epochs=0, max_epochs=1,
+                                steps_per_epoch=2, dtype=jnp.float32)
+        state = task.init(jax.random.key(0), (2, 32, 32, 3))
+        imgs = jnp.asarray(rng.integers(0, 256, size=(2, 40, 40, 1)), jnp.uint8)
+        msks = jnp.asarray((rng.random((2, 40, 40, 1)) < 0.3), jnp.uint8)
+        x, y = segmentation_augment(jax.random.key(1), imgs, msks, out_size=(32, 32),
+                                    mean=(0.5,), std=(0.25,), train=True,
+                                    dtype=jnp.float32,
+                                    hu_windows=((0.4, 0.6), (0.2, 0.2), (0.7, 0.3)))
+        state, m = task.train_step(state, x, y)
+        assert np.isfinite(float(m["train/loss"]))
