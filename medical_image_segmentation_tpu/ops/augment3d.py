@@ -37,7 +37,8 @@ def _crop_offsets(key, b, in_dims, out_dims, train: bool):
     return jnp.stack(offs, axis=-1)  # (B, 3)
 
 
-@partial(jax.jit, static_argnames=("out_size", "mean", "std", "train", "value_scale", "dtype"))
+@partial(jax.jit, static_argnames=("out_size", "mean", "std", "train", "value_scale",
+                                   "dtype", "hu_windows"))
 def segmentation_augment_3d(
     rng: jax.Array,
     vols: jax.Array,            # (B, D, H, W, 1) float 0..1 (or scaled by value_scale)
@@ -48,7 +49,13 @@ def segmentation_augment_3d(
     train: bool = True,
     value_scale: float = 1.0,
     dtype=jnp.bfloat16,
+    hu_windows: Tuple[Tuple[float, float], ...] = (),
 ):
+    """``hu_windows``: optional fixed (level, width) display windows on the
+    0..1 intensity scale, stacked as input CHANNELS (see
+    ops/augment.py::apply_hu_windows — the 'view it like a radiologist'
+    representation, most valuable on volumetric CT). Deterministic at train
+    and eval; a single-entry mean/std broadcasts across window channels."""
     b = vols.shape[0]
     in_dims = vols.shape[1:4]
     od, oh, ow = out_size
@@ -77,6 +84,10 @@ def segmentation_augment_3d(
         m = jnp.mean(img, axis=(1, 2, 3, 4), keepdims=True)
         img = jnp.clip(m + fc * (img - m), 0.0, 1.0)
 
+    if hu_windows:
+        from medical_image_segmentation_tpu.ops.augment import apply_hu_windows
+
+        img = apply_hu_windows(img, hu_windows)
     mean_a = jnp.asarray(mean, jnp.float32).reshape(1, 1, 1, 1, -1)
     std_a = jnp.asarray(std, jnp.float32).reshape(1, 1, 1, 1, -1)
     img = ((img - mean_a) / std_a).astype(dtype)

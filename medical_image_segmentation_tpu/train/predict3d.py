@@ -40,6 +40,9 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     ap.add_argument("--images_dir", required=True, help="directory of .nii/.nii.gz volumes")
     ap.add_argument("--output_dir", required=True, help="masks written here as 0/1 uint8 NIfTI")
     ap.add_argument("--threshold", type=float, default=0.5, help="sigmoid cut for the binary mask")
+    ap.add_argument("--hu_windows", default=None, metavar="L:W,L:W,…",
+                    help="fixed display windows (0-1 scale) stacked as input channels — "
+                         "must match the --hu_windows the checkpoint trained with")
     ap.add_argument("--batch_windows", type=int, default=4)
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--fp32", dest="bf16", action="store_false")
@@ -58,12 +61,17 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     from medical_image_segmentation_tpu.parallel import make_mesh, replicated
     from medical_image_segmentation_tpu.train.seg3d_task import Segmentation3DTask
 
+    from medical_image_segmentation_tpu.ops.augment import parse_hu_windows
+
+    hu_windows = (parse_hu_windows(args.hu_windows, value_max=1.0)
+                  if args.hu_windows else ())
+    in_ch = len(hu_windows) if hu_windows else 1
     task = Segmentation3DTask(
-        features=tuple(args.features), norm=args.norm,
+        in_channels=in_ch, features=tuple(args.features), norm=args.norm,
         learning_rate=1.0, warmup_epochs=0, max_epochs=1, steps_per_epoch=1,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
-    state = task.init(jax.random.key(0), (1, *args.window, 1))
+    state = task.init(jax.random.key(0), (1, *args.window, in_ch))
     ckpt = args.checkpoint
     if os.path.isdir(ckpt) and not os.path.basename(ckpt).isdigit():
         step = latest_step(ckpt)
@@ -102,6 +110,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         x = (vol - lo) / (hi - lo) if hi > lo else vol * 0.0
         # (X, Y, Z) → (D=Z, H=X, W=Y), the volumes.py convention
         x = np.moveaxis(x.astype(np.float32), -1, 0)[..., None]
+        if hu_windows:
+            from medical_image_segmentation_tpu.ops.augment import apply_hu_windows
+
+            x = np.asarray(apply_hu_windows(jnp.asarray(x), hu_windows))
         x = (x - args.mean) / args.std
         logits = sliding_window_predict_3d(
             window_fn, jnp.asarray(x), window=tuple(args.window),

@@ -53,6 +53,10 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     ap.add_argument("--mean", type=float, default=0.2089, help="dataset mean on the 0-1 scale")
     ap.add_argument("--std", type=float, default=0.2109)
     ap.add_argument("--loss", default="dice", choices=["dice", "dice_ce"])
+    ap.add_argument("--hu_windows", default=None, metavar="L:W,L:W,…",
+                    help="fixed display windows (level:width on the 0-1 intensity scale) "
+                         "stacked as input channels — multi-window CT representation; "
+                         "applied at train, eval, and sliding-window eval")
     ap.add_argument("--space_shards", type=int, default=1,
                     help=">1: shard volume depth over a ('data','space') mesh (halo via GSPMD)")
     ap.add_argument("--seed", type=int, default=0)
@@ -115,15 +119,20 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     if args.limit_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, args.limit_steps_per_epoch)
 
+    from medical_image_segmentation_tpu.ops.augment import parse_hu_windows
+
+    hu_windows = (parse_hu_windows(args.hu_windows, value_max=1.0)
+                  if args.hu_windows else ())
+    in_ch = len(hu_windows) if hu_windows else 1
     task = Segmentation3DTask(
-        n_classes=1, in_channels=1, features=tuple(args.features), norm=args.norm,
+        n_classes=1, in_channels=in_ch, features=tuple(args.features), norm=args.norm,
         learning_rate=args.learning_rate, weight_decay=args.weight_decay,
         warmup_epochs=args.warmup_epochs, max_epochs=args.max_epochs,
         min_lr=args.min_lr, steps_per_epoch=steps_per_epoch, loss=args.loss,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32, remat=args.remat,
     )
     crop = tuple(args.crop_size)
-    state = task.init(jax.random.key(args.seed), (1, *crop, 1))
+    state = task.init(jax.random.key(args.seed), (1, *crop, in_ch))
 
     if args.ssl_checkpoint:
         from medical_image_segmentation_tpu.core.checkpoint import load_byol3d_encoder_into_unet3d
@@ -157,6 +166,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     @partial(jax.jit, donate_argnums=0)
     def train_step(state, vols, msks, key):
         x, y = segmentation_augment_3d(key, vols, msks, out_size=crop, mean=mean, std=std,
+                                       hu_windows=hu_windows,
                                        train=True, dtype=dtype)
         if vol_sharding is not None:
             x = jax.lax.with_sharding_constraint(x, vol_sharding)
@@ -166,7 +176,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     @jax.jit
     def eval_step(state, vols, msks):
         x, y = segmentation_augment_3d(jax.random.key(0), vols, msks, out_size=crop,
-                                       mean=mean, std=std, train=False, dtype=dtype)
+                                       mean=mean, std=std, train=False, dtype=dtype,
+                                       hu_windows=hu_windows)
         return task.eval_step(state, x, y)
 
     def run_eval(split: str):
@@ -262,8 +273,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             return task.model.apply(variables, windows, train=False)
 
         dices, ious = [], []
+        from medical_image_segmentation_tpu.ops.augment import apply_hu_windows
+
         for i in range(len(ds_test)):
             vol, msk = ds_test.raw(i)
+            if hu_windows:  # same input representation the network trained on
+                vol = np.asarray(apply_hu_windows(jnp.asarray(vol), hu_windows))
             x = (vol - args.mean) / args.std
             logits = sliding_window_predict_3d(
                 window_fn, jnp.asarray(x), window=tuple(args.full_res_window),

@@ -395,3 +395,36 @@ class TestBYOL3D:
             "--checkpoint_dir", str(tmp_path / "seg_ckpt"),
         ])
         assert rc == 0
+
+
+class TestMultiWindow3D:
+    def test_augment3d_stacks_window_channels(self):
+        """hu_windows on the volumetric pipeline: channel c equals windowing
+        the single-channel output, and a 2-channel UNet3D takes a train step."""
+        from medical_image_segmentation_tpu.ops.augment3d import segmentation_augment_3d
+        from medical_image_segmentation_tpu.train.seg3d_task import Segmentation3DTask
+
+        rng = np.random.default_rng(7)
+        vol = rng.random((2, 8, 16, 16, 1)).astype(np.float32)
+        msk = (rng.random((2, 8, 16, 16, 1)) < 0.3).astype(np.float32)
+        wins = ((0.5, 0.5), (0.25, 0.2))
+        x, y = segmentation_augment_3d(
+            jax.random.key(0), jnp.asarray(vol), jnp.asarray(msk),
+            out_size=(8, 16, 16), mean=(0.5,), std=(0.25,), train=False,
+            dtype=jnp.float32, hu_windows=wins)
+        assert x.shape == (2, 8, 16, 16, 2)
+        base, _ = segmentation_augment_3d(
+            jax.random.key(0), jnp.asarray(vol), jnp.asarray(msk),
+            out_size=(8, 16, 16), mean=(0.0,), std=(1.0,), train=False,
+            dtype=jnp.float32)
+        for c, (lv, wd) in enumerate(wins):
+            want = (np.clip((np.asarray(base)[..., 0] - (lv - wd / 2)) / wd, 0, 1)
+                    - 0.5) / 0.25
+            np.testing.assert_allclose(np.asarray(x)[..., c], want, atol=1e-5)
+
+        task = Segmentation3DTask(in_channels=2, features=(4, 8), learning_rate=0.1,
+                                  warmup_epochs=0, max_epochs=1, steps_per_epoch=2,
+                                  dtype=jnp.float32)
+        state = task.init(jax.random.key(0), (1, 8, 16, 16, 2))
+        state, m = task.train_step(state, x, y)
+        assert np.isfinite(float(m["train/loss"]))
