@@ -89,6 +89,48 @@ def export_predictor(
     return out
 
 
+def export_window_predictor(
+    task,
+    state,
+    window: Sequence[int],
+    mean: float,
+    std: float,
+    batch_windows: int = 4,
+    platforms: Optional[Sequence[str]] = None,
+    fp32: bool = False,
+    hu_windows: Sequence = (),
+):
+    """Volumetric analogue of :func:`export_predictor`: export the 3D U-Net
+    WINDOW function for ``eval.sliding_window.sliding_window_predict_3d`` —
+    raw 0..1 windows (B, d, h, w, 1) float32 in, logits (B, d, h, w, K)
+    float32 out, with hu-window stacking + normalization + weights baked in.
+    The host keeps only window extraction and the Hann blend (bandwidth-
+    trivial); every FLOP crosses through the artifact. → {B: Exported}.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from medical_image_segmentation_tpu.ops.augment import apply_hu_windows
+
+    dtype = jnp.float32 if fp32 else jnp.bfloat16
+    hu_windows = tuple(tuple(w) for w in hu_windows)
+    variables = {"params": jax.device_get(state.params)}
+    bs = jax.device_get(state.batch_stats)
+    if bs:
+        variables["batch_stats"] = bs
+
+    def fn(windows01):
+        x = apply_hu_windows(windows01, hu_windows)  # no-op when ()
+        x = ((x - np.float32(mean)) / np.float32(std)).astype(dtype)
+        return task.model.apply(variables, x, train=False).astype(jnp.float32)
+
+    d, h, w = (int(v) for v in window)
+    spec = jax.ShapeDtypeStruct((int(batch_windows), d, h, w, 1), jnp.float32)
+    exported = jax.export.export(
+        jax.jit(fn), platforms=list(platforms) if platforms else None)(spec)
+    return {int(batch_windows): exported}
+
+
 def save_predictor(path: str, exported: Dict[int, object], meta: dict) -> None:
     """Write {batch: Exported} + metadata as one ``.misx`` container."""
     blobs = {int(b): bytes(e.serialize()) for b, e in exported.items()}
@@ -157,9 +199,7 @@ class ServingPredictor:
         return out
 
 
-def load_predictor(path: str) -> ServingPredictor:
-    """Read a ``.misx`` container → ServingPredictor (blobs held in memory,
-    deserialized per bucket on first use)."""
+def _read_container(path: str):
     with open(path, "rb") as f:
         data = f.read()
     if data[: len(_MAGIC)] != _MAGIC:
@@ -174,4 +214,39 @@ def load_predictor(path: str) -> ServingPredictor:
         if len(blob) != size:
             raise ValueError(f"{path}: truncated artifact (bucket {b})")
         blobs[int(b)] = blob
-    return ServingPredictor(header["meta"], blobs)
+    return header["meta"], blobs
+
+
+def load_predictor(path: str) -> ServingPredictor:
+    """Read a batched-2D ``.misx`` container → ServingPredictor (blobs held
+    in memory, deserialized per bucket on first use)."""
+    meta, blobs = _read_container(path)
+    if meta.get("kind", "batched2d") != "batched2d":
+        raise ValueError(
+            f"{path}: artifact kind {meta.get('kind')!r} is not a batched 2D "
+            f"predictor (use load_window_predictor / mis-predict3d --exported)")
+    return ServingPredictor(meta, blobs)
+
+
+def load_window_predictor(path: str):
+    """Read a volumetric window ``.misx`` artifact → (meta, window_fn).
+
+    ``window_fn`` takes EXACTLY ``meta['batch_windows']`` raw 0..1 windows
+    (B, d, h, w, 1) float32 and returns logits — the ``apply_fn`` contract of
+    ``sliding_window_predict_3d`` (which always pads the tail batch)."""
+    meta, blobs = _read_container(path)
+    if meta.get("kind") != "window3d":
+        raise ValueError(
+            f"{path}: artifact kind {meta.get('kind')!r} is not a volumetric "
+            f"window predictor (use load_predictor / mis-predict --exported)")
+    (b,) = blobs.keys()
+    fns = {}
+
+    def window_fn(windows01):
+        if b not in fns:
+            import jax
+
+            fns[b] = jax.export.deserialize(bytearray(blobs[b]))
+        return fns[b].call(windows01)
+
+    return meta, window_fn

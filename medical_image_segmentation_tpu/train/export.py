@@ -95,6 +95,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         fp32=not args.bf16, hu_windows=hu_windows,
     )
     meta = {
+        "kind": "batched2d",
         "arch": args.arch,
         "image_size": args.image_size,
         "mean": mean,

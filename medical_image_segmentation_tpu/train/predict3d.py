@@ -29,8 +29,12 @@ import numpy as np
 
 def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     ap = argparse.ArgumentParser(description="Volumetric 3D U-Net mask inference (TPU-native serving)")
-    ap.add_argument("--checkpoint", required=True,
+    ap.add_argument("--checkpoint", default=None,
                     help="seg3d checkpoint directory (latest step) or a specific step path")
+    ap.add_argument("--exported", default=None,
+                    help="serve from an AOT window .misx artifact (mis-export3d) instead of "
+                         "a checkpoint: window shape, normalization and hu_windows come from "
+                         "the artifact; no model code or restore")
     ap.add_argument("--features", type=int, nargs="+", default=(32, 64, 128, 256))
     ap.add_argument("--norm", default="group", choices=["group", "batch"])
     ap.add_argument("--window", type=int, nargs=3, default=(32, 64, 64), metavar=("D", "H", "W"),
@@ -63,35 +67,54 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
     from medical_image_segmentation_tpu.ops.augment import parse_hu_windows
 
-    hu_windows = (parse_hu_windows(args.hu_windows, value_max=1.0)
-                  if args.hu_windows else ())
-    in_ch = len(hu_windows) if hu_windows else 1
-    task = Segmentation3DTask(
-        in_channels=in_ch, features=tuple(args.features), norm=args.norm,
-        learning_rate=1.0, warmup_epochs=0, max_epochs=1, steps_per_epoch=1,
-        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-    )
-    state = task.init(jax.random.key(0), (1, *args.window, in_ch))
-    ckpt = args.checkpoint
-    if os.path.isdir(ckpt) and not os.path.basename(ckpt).isdigit():
-        step = latest_step(ckpt)
-        if step is None:
-            raise SystemExit(f"no checkpoint steps under {ckpt}")
-        ckpt = os.path.join(ckpt, str(step))
-    state = restore_checkpoint(ckpt, state)
-    print(f"restored {ckpt} (step {int(np.asarray(state.step))})", file=sys.stderr)
+    if (args.checkpoint is None) == (args.exported is None):
+        raise SystemExit("exactly one of --checkpoint / --exported is required")
 
-    mesh = make_mesh()
-    state = jax.device_put(state, replicated(mesh))
-    host_state = jax.device_get(state)
+    mesh = None
+    if args.exported is not None:
+        # AOT window artifact: weights, hu_windows and normalize are baked in
+        # — the loop below feeds RAW 0..1 windows and blends logits.
+        from medical_image_segmentation_tpu.serve import load_window_predictor
+
+        meta, window_fn = load_window_predictor(args.exported)
+        args.window = tuple(meta["window"])
+        args.batch_windows = int(meta["batch_windows"])
+        hu_windows = ()  # applied inside the artifact
+        normalize_host = False
+        print(f"loaded {args.exported} (step {meta.get('checkpoint_step')}, "
+              f"window {args.window} x{args.batch_windows})", file=sys.stderr)
+    else:
+        normalize_host = True
+        hu_windows = (parse_hu_windows(args.hu_windows, value_max=1.0)
+                      if args.hu_windows else ())
+        in_ch = len(hu_windows) if hu_windows else 1
+        task = Segmentation3DTask(
+            in_channels=in_ch, features=tuple(args.features), norm=args.norm,
+            learning_rate=1.0, warmup_epochs=0, max_epochs=1, steps_per_epoch=1,
+            dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        )
+        state = task.init(jax.random.key(0), (1, *args.window, in_ch))
+        ckpt = args.checkpoint
+        if os.path.isdir(ckpt) and not os.path.basename(ckpt).isdigit():
+            step = latest_step(ckpt)
+            if step is None:
+                raise SystemExit(f"no checkpoint steps under {ckpt}")
+            ckpt = os.path.join(ckpt, str(step))
+        state = restore_checkpoint(ckpt, state)
+        print(f"restored {ckpt} (step {int(np.asarray(state.step))})", file=sys.stderr)
+
+        mesh = make_mesh()
+        state = jax.device_put(state, replicated(mesh))
+        host_state = jax.device_get(state)
+
+        @jax.jit
+        def window_fn(windows):
+            variables = {"params": host_state.params}
+            if host_state.batch_stats:
+                variables["batch_stats"] = host_state.batch_stats
+            return task.model.apply(variables, windows, train=False)
+
     os.makedirs(args.output_dir, exist_ok=True)
-
-    @jax.jit
-    def window_fn(windows):
-        variables = {"params": host_state.params}
-        if host_state.batch_stats:
-            variables["batch_stats"] = host_state.batch_stats
-        return task.model.apply(variables, windows, train=False)
 
     names = sorted(
         f for f in os.listdir(args.images_dir)
@@ -114,7 +137,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             from medical_image_segmentation_tpu.ops.augment import apply_hu_windows
 
             x = np.asarray(apply_hu_windows(jnp.asarray(x), hu_windows))
-        x = (x - args.mean) / args.std
+        if normalize_host:  # exported artifacts normalize (+window) inside
+            x = (x - args.mean) / args.std
         logits = sliding_window_predict_3d(
             window_fn, jnp.asarray(x), window=tuple(args.window),
             batch_windows=args.batch_windows, mesh=mesh,

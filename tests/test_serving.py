@@ -145,3 +145,67 @@ class TestExportCLI:
         with pytest.raises(SystemExit, match="sliding_window"):
             predict_main(["--exported", "m.misx", "--sliding_window", "96",
                           "--images_dir", "x", "--output_dir", "y"])
+
+
+class TestWindow3DExport:
+    def test_export3d_then_predict3d_cli(self, tmp_path, capfd):
+        """mis-export3d on a real seg3d checkpoint, then mis-predict3d
+        --exported serves the same NIfTI masks as the checkpoint path."""
+        import jax
+        import jax.numpy as jnp
+
+        from medical_image_segmentation_tpu.core.checkpoint import save_checkpoint
+        from medical_image_segmentation_tpu.data.nifti import read_nifti, write_nifti
+        from medical_image_segmentation_tpu.train.export3d import main as export3d_main
+        from medical_image_segmentation_tpu.train.predict3d import main as predict3d_main
+        from medical_image_segmentation_tpu.train.seg3d_task import Segmentation3DTask
+
+        task = Segmentation3DTask(in_channels=1, features=(4, 8), norm="group",
+                                  learning_rate=1.0, warmup_epochs=0, max_epochs=1,
+                                  steps_per_epoch=1, dtype=jnp.float32)
+        state = task.init(jax.random.key(0), (1, 8, 16, 16, 1))
+        ckpt = str(tmp_path / "ckpt")
+        save_checkpoint(ckpt, state, step=1)
+
+        rng = np.random.default_rng(2)
+        vols = tmp_path / "vols"
+        vols.mkdir()
+        for v in range(2):
+            write_nifti(str(vols / f"v{v}.nii.gz"),
+                        rng.random((16, 16, 10)).astype(np.float32))
+
+        art = str(tmp_path / "w3d.misx")
+        assert export3d_main([
+            "--checkpoint", ckpt, "--output", art, "--features", "4", "8",
+            "--window", "8", "16", "16", "--batch_windows", "2", "--fp32"]) == 0
+
+        out_ckpt = str(tmp_path / "m_ckpt")
+        assert predict3d_main([
+            "--checkpoint", ckpt, "--features", "4", "8",
+            "--window", "8", "16", "16", "--batch_windows", "2", "--fp32",
+            "--images_dir", str(vols), "--output_dir", out_ckpt]) == 0
+        out_art = str(tmp_path / "m_art")
+        assert predict3d_main([
+            "--exported", art,
+            "--images_dir", str(vols), "--output_dir", out_art]) == 0
+        files = sorted(os.listdir(out_art))
+        assert files == sorted(os.listdir(out_ckpt)) and len(files) == 2
+        for f in files:
+            a = np.asarray(read_nifti(os.path.join(out_art, f)).get_fdata())
+            b = np.asarray(read_nifti(os.path.join(out_ckpt, f)).get_fdata())
+            np.testing.assert_array_equal(a, b)
+
+    def test_kind_mismatch_rejected(self, tmp_path):
+        import jax.numpy as jnp
+        import pytest
+
+        from medical_image_segmentation_tpu.serve import (
+            export_predictor, load_window_predictor, save_predictor)
+
+        task, state = _tiny_task_state()
+        exported = export_predictor(task, state, image_size=64, mean=0.2,
+                                    std=0.21, batch_sizes=(1,), fp32=True)
+        p = str(tmp_path / "m.misx")
+        save_predictor(p, exported, {"kind": "batched2d", "image_size": 64})
+        with pytest.raises(ValueError, match="window"):
+            load_window_predictor(p)
