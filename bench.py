@@ -203,17 +203,20 @@ def _seg3d_bench(args):
 
 
 def _predict_bench(args):
-    """Serving-path inference throughput: the exact jitted function
-    `train/predict.py` deploys (uint8 in → normalize → U-Net eval forward →
-    sigmoid-threshold mask out), batched, bf16. Reports img/s/chip plus
-    per-batch latency percentiles — the deployment-relevant numbers the
-    reference cannot produce (its only predict path is trainer.predict grid
-    dumps, reference train_segmentation.py:82-93)."""
+    """Serving-path inference throughput: the SAME function `train/predict.py`
+    jits and `mis-export` serializes (`serve.make_predict_fn`: uint8 in →
+    normalize → U-Net eval forward → sigmoid-threshold mask out), batched,
+    bf16. Reports img/s/chip plus per-batch latency percentiles — the
+    deployment-relevant numbers the reference cannot produce (its only
+    predict path is trainer.predict grid dumps, train_segmentation.py:82-93).
+    The per-batch fence fetches ONE element (device compute is timed; the
+    full-mask D2H copy is a host/NIC property, not an inference cost — over
+    the axon tunnel it would dominate by 10×)."""
     import jax
     import jax.numpy as jnp
 
-    from medical_image_segmentation_tpu.ops.dice import post_process_masks
     from medical_image_segmentation_tpu.parallel import make_mesh, replicated, shard_batch
+    from medical_image_segmentation_tpu.serve import make_predict_fn
     from medical_image_segmentation_tpu.train.segmentation_task import SegmentationTask
 
     if args.store is not None or args.precrop:
@@ -229,31 +232,29 @@ def _predict_bench(args):
     mesh = make_mesh()
     state = task.init(jax.random.key(0), (2, args.image_size, args.image_size, 1))
     state = jax.device_put(state, replicated(mesh))
-    mean, std = np.float32(0.2089), np.float32(0.2109)  # liver registry stats
+    predict = jax.jit(make_predict_fn(
+        task, {"params": state.params, "batch_stats": state.batch_stats},
+        0.2089, 0.2109, fp32=args.fp32))  # liver registry stats
 
-    @jax.jit
-    def predict(state, imgs_u8):
-        x = (imgs_u8.astype(dtype) / np.float32(255.0) - mean) / std
-        logits = task.model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats}, x, train=False)
-        return post_process_masks(logits, threshold=0.5)
+    def fence(m):  # one-element fetch (axon: block_until_ready lies)
+        return int(jnp.ravel(m)[0])
 
     rng = np.random.default_rng(0)
     imgs = shard_batch(mesh, rng.integers(
         0, 256, size=(args.batch_size, args.image_size, args.image_size, 1)).astype(np.uint8))
+    masks = predict(imgs)  # compile
     for _ in range(args.warmup):
-        masks = predict(state, imgs)
-    int(np.asarray(masks)[0, 0, 0, 0])  # host fence (axon: block_until_ready lies)
+        masks = predict(imgs)
+    fence(masks)
     lat = []
     for _ in range(args.steps):
         t0 = time.perf_counter()
-        masks = predict(state, imgs)
-        int(np.asarray(masks)[0, 0, 0, 0])  # fence every batch: true latency
+        fence(predict(imgs))  # fence every batch: true latency
         lat.append(time.perf_counter() - t0)
     lat = np.array(lat)
     dt = float(lat.sum())
     per_chip = args.batch_size * args.steps / dt / n_chips
-    flops = _step_flops(predict, state, imgs)
+    flops = _step_flops(predict, imgs)
     peak = _peak_flops_per_chip()
     mfu = round(flops * args.steps / dt / (peak * n_chips), 4) if flops and peak else None
     print(f"[predict] total={per_chip*n_chips:.0f} img/s "

@@ -53,6 +53,21 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
     return max(steps, default=None)
 
 
+def resolve_checkpoint_path(path: str) -> str:
+    """CLI convention shared by every predict/export entry point: ``path``
+    is either a specific step directory (``…/ckpt/5``) or a checkpoint root,
+    in which case the latest numeric step is picked. Normalizes first so a
+    trailing slash on a step path doesn't mis-classify it as a root.
+    Raises SystemExit with a clear message when the root holds no steps."""
+    path = os.path.normpath(path)
+    if os.path.isdir(path) and not os.path.basename(path).isdigit():
+        step = latest_step(path)
+        if step is None:
+            raise SystemExit(f"no checkpoint steps under {path}")
+        return os.path.join(path, str(step))
+    return path
+
+
 def _adapt_conv1(kernel: jax.Array, target_in: int, how: str = "sum") -> jax.Array:
     """Adapt a (kh, kw, cin, cout) stem kernel to ``target_in`` channels.
 

@@ -20,8 +20,14 @@ Design notes (TPU-first):
   a CPU canary/CI environment.
 - **Size scales with buckets.** jax.export has no cross-function constant
   sharing, so every batch bucket embeds its own copy of the weights —
-  artifact size ≈ n_buckets × params (halved by the default bf16 export).
-  Pick the few bucket sizes the serving tier actually uses.
+  artifact size ≈ n_buckets × params (float32: params keep
+  ``param_dtype=float32`` regardless of the compute dtype). Pick the few
+  bucket sizes the serving tier actually uses.
+- **Single-device serving.** An artifact is lowered without shardings, so
+  ``Exported.call`` runs each bucket on one chip — the right unit for a
+  serving tier that scales by replication. The checkpoint-backed
+  ``mis-predict`` path instead shards each batch over all local chips; on a
+  multi-chip host it can be up to chip-count× faster per process.
 
 Container layout: ``MISX1\\n`` magic, a u32 little-endian JSON-header
 length, the JSON header ``{"meta": ..., "buckets": {"<B>": [offset, size]}}``
@@ -38,6 +44,30 @@ from typing import Dict, Iterable, Optional, Sequence
 import numpy as np
 
 _MAGIC = b"MISX1\n"
+
+
+def make_predict_fn(task, variables, mean, std, threshold=0.5,
+                    fp32=False, hu_windows=()):
+    """THE deployed 2D serving function — uint8 batch → normalize (+optional
+    multi-window channels) → U-Net eval forward → sigmoid-threshold uint8
+    masks. Single source of truth: `mis-predict` jits it, `mis-export`
+    serializes it, `bench.py --task predict` times it."""
+    import jax.numpy as jnp
+
+    from medical_image_segmentation_tpu.ops.augment import apply_hu_windows
+    from medical_image_segmentation_tpu.ops.dice import post_process_masks
+
+    dtype = jnp.float32 if fp32 else jnp.bfloat16
+    hu_windows = tuple(tuple(w) for w in hu_windows)
+
+    def fn(imgs_u8):
+        x = imgs_u8.astype(jnp.float32) / np.float32(255.0)
+        x = apply_hu_windows(x, hu_windows)  # no-op when () — 1 channel
+        x = ((x - np.float32(mean)) / np.float32(std)).astype(dtype)
+        logits = task.model.apply(variables, x, train=False)
+        return post_process_masks(logits, threshold=threshold).astype(jnp.uint8)
+
+    return fn
 
 
 def export_predictor(
@@ -60,24 +90,12 @@ def export_predictor(
     import jax
     import jax.numpy as jnp
 
-    from medical_image_segmentation_tpu.ops.dice import post_process_masks
-
-    dtype = jnp.float32 if fp32 else jnp.bfloat16
     variables = {
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
     }
-
-    from medical_image_segmentation_tpu.ops.augment import apply_hu_windows
-
-    hu_windows = tuple(tuple(w) for w in hu_windows)
-
-    def fn(imgs_u8):
-        x = imgs_u8.astype(jnp.float32) / np.float32(255.0)
-        x = apply_hu_windows(x, hu_windows)  # no-op when () — 1 channel
-        x = ((x - np.float32(mean)) / np.float32(std)).astype(dtype)
-        logits = task.model.apply(variables, x, train=False)
-        return post_process_masks(logits, threshold=threshold).astype(jnp.uint8)
+    fn = make_predict_fn(task, variables, mean, std, threshold=threshold,
+                         fp32=fp32, hu_windows=hu_windows)
 
     out = {}
     for b in sorted(set(int(b) for b in batch_sizes)):
@@ -187,7 +205,12 @@ class ServingPredictor:
         i = 0
         while i < n:
             rem = n - i
-            b = next((x for x in sizes if x >= rem), sizes[-1])
+            # greedy decomposition: largest bucket that fits, so a 9-image
+            # tail with buckets (1, 8, 64) runs 8 then 1 instead of padding
+            # 64; only a remainder smaller than every bucket pads (up to the
+            # smallest bucket that covers it — waste bounded by min bucket).
+            fits = [x for x in sizes if x <= rem]
+            b = fits[-1] if fits else next(x for x in sizes if x >= rem)
             take = min(rem, b)
             chunk = imgs_u8[i : i + take]
             if take < b:  # pad the tail by repeating the last sample
@@ -239,6 +262,11 @@ def load_window_predictor(path: str):
         raise ValueError(
             f"{path}: artifact kind {meta.get('kind')!r} is not a volumetric "
             f"window predictor (use load_predictor / mis-predict --exported)")
+    if len(blobs) != 1:
+        raise ValueError(
+            f"{path}: window3d artifacts must contain exactly one bucket "
+            f"(got {sorted(blobs)}); sliding_window_predict_3d pads every "
+            f"batch to one static size")
     (b,) = blobs.keys()
     fns = {}
 

@@ -38,8 +38,9 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
                     help="fixed display windows stacked as input channels — must match "
                          "the --hu_windows the checkpoint trained with; baked into the artifact")
     ap.add_argument("--batch_sizes", default="1,8,64",
-                    help="comma-separated static batch buckets to export (requests are "
-                         "routed to the smallest bucket that fits, tail-padded)")
+                    help="comma-separated static batch buckets to export (requests "
+                         "greedily decompose over the largest buckets that fit; only a "
+                         "remainder smaller than every bucket pads)")
     ap.add_argument("--platforms", default=None,
                     help="comma-separated lowering platforms, e.g. 'tpu,cpu' — one "
                          "artifact serves on every listed platform (default: current)")
@@ -54,7 +55,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     import jax.numpy as jnp
     import numpy as np
 
-    from medical_image_segmentation_tpu.core.checkpoint import latest_step, restore_checkpoint
+    from medical_image_segmentation_tpu.core.checkpoint import resolve_checkpoint_path, restore_checkpoint
     from medical_image_segmentation_tpu.serve import export_predictor, save_predictor
     from medical_image_segmentation_tpu.train.segmentation_task import SegmentationTask
 
@@ -78,12 +79,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
     state = task.init(jax.random.key(0), (2, args.image_size, args.image_size, in_ch))
-    ckpt = args.checkpoint
-    if os.path.isdir(ckpt) and not os.path.basename(ckpt).isdigit():
-        step = latest_step(ckpt)
-        if step is None:
-            raise SystemExit(f"no checkpoint steps under {ckpt}")
-        ckpt = os.path.join(ckpt, str(step))
+    ckpt = resolve_checkpoint_path(args.checkpoint)
     state = restore_checkpoint(ckpt, state)
     print(f"restored {ckpt} (step {int(np.asarray(state.step))})", file=sys.stderr)
 

@@ -48,7 +48,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     import jax.numpy as jnp
     import numpy as np
 
-    from medical_image_segmentation_tpu.core.checkpoint import latest_step, restore_checkpoint
+    from medical_image_segmentation_tpu.core.checkpoint import resolve_checkpoint_path, restore_checkpoint
     from medical_image_segmentation_tpu.ops.augment import parse_hu_windows
     from medical_image_segmentation_tpu.serve import export_window_predictor, save_predictor
     from medical_image_segmentation_tpu.train.seg3d_task import Segmentation3DTask
@@ -62,12 +62,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
     state = task.init(jax.random.key(0), (1, *args.window, in_ch))
-    ckpt = args.checkpoint
-    if os.path.isdir(ckpt) and not os.path.basename(ckpt).isdigit():
-        step = latest_step(ckpt)
-        if step is None:
-            raise SystemExit(f"no checkpoint steps under {ckpt}")
-        ckpt = os.path.join(ckpt, str(step))
+    ckpt = resolve_checkpoint_path(args.checkpoint)
     state = restore_checkpoint(ckpt, state)
     print(f"restored {ckpt} (step {int(np.asarray(state.step))})", file=sys.stderr)
 

@@ -125,11 +125,21 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     if args.exported is not None and args.sliding_window:
         raise SystemExit("--exported serves the batched AOT function; "
                          "--sliding_window needs --checkpoint")
+    if args.exported is not None:
+        # these are baked into the artifact at export time — accepting them
+        # here would silently serve with different values than requested
+        baked = {"threshold": 0.5, "hu_windows": None, "mean": None,
+                 "std": None, "dataset": None}
+        bad = [f"--{k}" for k, dv in baked.items() if getattr(args, k) != dv]
+        if bad:
+            raise SystemExit(
+                f"{', '.join(bad)}: baked into the artifact at export time — "
+                f"re-run mis-export with the desired values instead")
 
     import jax
     import jax.numpy as jnp
 
-    from medical_image_segmentation_tpu.core.checkpoint import latest_step, restore_checkpoint
+    from medical_image_segmentation_tpu.core.checkpoint import resolve_checkpoint_path, restore_checkpoint
     from medical_image_segmentation_tpu.ops.dice import post_process_masks
     from medical_image_segmentation_tpu.parallel import make_mesh, replicated, shard_batch
     from medical_image_segmentation_tpu.train.segmentation_task import SegmentationTask
@@ -172,12 +182,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         )
         state = task.init(jax.random.key(0), (2, args.image_size, args.image_size, in_ch))
-        ckpt = args.checkpoint
-        if os.path.isdir(ckpt) and not os.path.basename(ckpt).isdigit():
-            step = latest_step(ckpt)
-            if step is None:
-                raise SystemExit(f"no checkpoint steps under {ckpt}")
-            ckpt = os.path.join(ckpt, str(step))
+        ckpt = resolve_checkpoint_path(args.checkpoint)
         state = restore_checkpoint(ckpt, state)
         print(f"restored {ckpt} (step {int(np.asarray(state.step))})", file=sys.stderr)
 
@@ -187,19 +192,22 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         if args.overlay_dir:
             os.makedirs(args.overlay_dir, exist_ok=True)
 
-        dtype = jnp.bfloat16 if args.bf16 else jnp.float32
         size = args.image_size
 
-        from medical_image_segmentation_tpu.ops.augment import apply_hu_windows
+        # one source of truth for the serving math (shared with mis-export
+        # and bench --task predict): serve.make_predict_fn, jitted over the
+        # mesh-replicated variables so batches shard across all local chips
+        from medical_image_segmentation_tpu.serve import make_predict_fn
+
+        _fn = make_predict_fn(
+            task, {"params": state.params, "batch_stats": state.batch_stats},
+            mean, std, threshold=args.threshold, fp32=not args.bf16,
+            hu_windows=hu_windows)
 
         @jax.jit
         def predict(state, imgs_u8):
-            x = imgs_u8.astype(jnp.float32) / np.float32(255.0)
-            x = apply_hu_windows(x, hu_windows)  # no-op when () — 1 channel
-            x = ((x - np.float32(mean)) / np.float32(std)).astype(dtype)
-            logits = task.model.apply(
-                {"params": state.params, "batch_stats": state.batch_stats}, x, train=False)
-            return post_process_masks(logits, threshold=args.threshold)
+            del state  # variables are closed over (mesh-replicated)
+            return _fn(imgs_u8)
 
     # ---- input enumeration -------------------------------------------------
     t0 = time.time()

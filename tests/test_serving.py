@@ -63,13 +63,28 @@ class TestServeRoundtrip:
             np.testing.assert_array_equal(got, direct(jnp.asarray(imgs)))
 
     def test_container_rejects_garbage_and_truncation(self, tmp_path):
-        from medical_image_segmentation_tpu.serve import load_predictor
+        from medical_image_segmentation_tpu.serve import (
+            export_predictor, load_predictor, save_predictor)
 
         p = str(tmp_path / "bad.misx")
         with open(p, "wb") as f:
             f.write(b"not an artifact")
         with pytest.raises(ValueError, match="magic"):
             load_predictor(p)
+
+        # a valid artifact cut short must fail at LOAD, not hand a short
+        # blob to jax.export.deserialize at first serve
+        task, state = _tiny_task_state()
+        good = str(tmp_path / "good.misx")
+        save_predictor(good, export_predictor(
+            task, state, image_size=64, mean=0.2, std=0.21,
+            batch_sizes=(1,), fp32=True), {"image_size": 64})
+        data = open(good, "rb").read()
+        cut = str(tmp_path / "cut.misx")
+        with open(cut, "wb") as f:
+            f.write(data[: len(data) // 2])
+        with pytest.raises(ValueError, match="truncated"):
+            load_predictor(cut)
 
     def test_input_validation(self, tmp_path):
         from medical_image_segmentation_tpu.serve import (
@@ -145,6 +160,18 @@ class TestExportCLI:
         with pytest.raises(SystemExit, match="sliding_window"):
             predict_main(["--exported", "m.misx", "--sliding_window", "96",
                           "--images_dir", "x", "--output_dir", "y"])
+
+    def test_exported_rejects_baked_flags(self):
+        """--threshold/--hu_windows/--mean/--std/--dataset are baked into
+        the artifact — accepting them with --exported would silently serve
+        with different values than the user requested."""
+        from medical_image_segmentation_tpu.train.predict import main as predict_main
+
+        for flags in (["--threshold", "0.7"], ["--hu_windows", "96:160"],
+                      ["--mean", "0.1"], ["--dataset", "DECATHLON_LIVER"]):
+            with pytest.raises(SystemExit, match="baked into the artifact"):
+                predict_main(["--exported", "m.misx", *flags,
+                              "--images_dir", "x", "--output_dir", "y"])
 
 
 class TestWindow3DExport:
