@@ -22,14 +22,25 @@ from typing import Dict, List, Optional, Sequence
 
 
 def extract_id(filename: str) -> str:
-    """``la_003_42.png`` → ``la_003`` (strip the slice index)."""
+    """``la_003_42.png`` → ``la_003`` (strip the slice index).
+
+    NIfTI volumes are their own id: ``la_003.nii.gz`` → ``la_003`` — the
+    volumetric path (`data/volumes.py`) filters by the same uid, so one
+    split JSON drives both the sliced-2D and whole-volume-3D loaders.
+    """
     stem = os.path.basename(filename)
+    if stem.endswith(".nii") or stem.endswith(".nii.gz"):
+        return stem.split(".nii")[0]
     stem = stem.split(".png")[0]
     return stem.rsplit("_", 1)[0]
 
 
 def collect_ids(images_dir: str) -> List[str]:
-    ids = {extract_id(f) for f in os.listdir(images_dir) if f.endswith(".png")}
+    ids = {
+        extract_id(f)
+        for f in os.listdir(images_dir)
+        if f.endswith((".png", ".nii", ".nii.gz")) and not f.startswith(".")
+    }
     return sorted(ids)
 
 

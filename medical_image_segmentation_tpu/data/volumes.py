@@ -58,6 +58,7 @@ class DecathlonVolumeDataset:
         target_shape: Tuple[int, int, int] = (64, 64, 64),
         split_file: Optional[str] = None,
         split: str = "train",
+        cache: bool = False,
     ):
         pairs = pair_scans_and_masks(images_dir, masks_dir)
         if split_file:
@@ -74,6 +75,12 @@ class DecathlonVolumeDataset:
             raise ValueError(f"no volume pairs under {images_dir} / {masks_dir} (split={split})")
         self.pairs: List[Tuple[str, str]] = pairs
         self.target_shape = tuple(target_shape)
+        # decoded-volume RAM cache: NIfTI gunzip+parse on every epoch
+        # dominates wall-clock on few-core hosts (device step ≪ host decode);
+        # fixed target_shape makes the footprint len(ds)·∏target·8 bytes —
+        # the caller opts in when that fits. raw() (full-res eval) stays
+        # uncached: native-resolution volumes are unbounded and read rarely.
+        self._cache: Optional[dict] = {} if cache else None
 
     def __len__(self) -> int:
         return len(self.pairs)
@@ -99,9 +106,13 @@ class DecathlonVolumeDataset:
         return img[..., None], msk[..., None]
 
     def __getitem__(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        if self._cache is not None and i in self._cache:
+            return self._cache[i]
         img, msk = self.raw(i)
         img = center_fit(img, self.target_shape)
         msk = center_fit(msk, self.target_shape)
+        if self._cache is not None:
+            self._cache[i] = (img, msk)
         return img, msk
 
 
@@ -111,7 +122,8 @@ class UnlabeledVolumeDataset:
     center-fitted to ``target_shape``. Items are 1-tuples so
     ``VolumeLoader`` yields ``(batch,)``."""
 
-    def __init__(self, images_dir: str, target_shape: Tuple[int, int, int] = (64, 96, 96)):
+    def __init__(self, images_dir: str, target_shape: Tuple[int, int, int] = (64, 96, 96),
+                 cache: bool = False):
         names = sorted(
             f for f in os.listdir(images_dir)
             if (f.endswith(".nii") or f.endswith(".nii.gz")) and not f.startswith(".")
@@ -120,11 +132,14 @@ class UnlabeledVolumeDataset:
             raise ValueError(f"no NIfTI volumes under {images_dir}")
         self.paths = [os.path.join(images_dir, n) for n in names]
         self.target_shape = tuple(target_shape)
+        self._cache: Optional[dict] = {} if cache else None
 
     def __len__(self) -> int:
         return len(self.paths)
 
     def __getitem__(self, i: int):
+        if self._cache is not None and i in self._cache:
+            return self._cache[i]
         vol = read_nifti(self.paths[i]).get_fdata()
         if vol.ndim == 4:
             vol = vol[..., 0]
@@ -132,7 +147,10 @@ class UnlabeledVolumeDataset:
         lo, hi = float(vol.min()), float(vol.max())
         scale = 1.0 / (hi - lo) if hi > lo else 0.0
         img = ((vol - lo) * scale).astype(np.float32)
-        return (center_fit(img, self.target_shape)[..., None],)
+        item = (center_fit(img, self.target_shape)[..., None],)
+        if self._cache is not None:
+            self._cache[i] = item
+        return item
 
 
 class VolumeLoader:

@@ -73,6 +73,10 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--fp32", dest="bf16", action="store_false")
     ap.add_argument("--remat", action="store_true", help="checkpoint each conv block")
+    ap.add_argument("--cache_volumes", action="store_true",
+                    help="keep decoded volumes in host RAM between epochs "
+                         "(len(ds)·∏volume_size·8 bytes; NIfTI gunzip+parse "
+                         "otherwise repeats every epoch)")
     return ap.parse_args(argv)
 
 
@@ -111,7 +115,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
     ds_train = DecathlonVolumeDataset(args.images_dir, args.masks_dir,
                                       target_shape=tuple(args.volume_size),
-                                      split_file=args.split_file, split="train")
+                                      split_file=args.split_file, split="train",
+                                      cache=args.cache_volumes)
     per_host = args.batch_size // nproc
     train_loader = VolumeLoader(ds_train, per_host, shuffle=True, seed=args.seed,
                                 num_hosts=nproc, host_id=proc)

@@ -55,6 +55,10 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--fp32", dest="bf16", action="store_false")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--cache_volumes", action="store_true",
+                    help="keep decoded volumes in host RAM between epochs "
+                         "(len(ds)·∏volume_size·4 bytes; NIfTI gunzip+parse "
+                         "otherwise repeats every epoch)")
     return ap.parse_args(argv)
 
 
@@ -80,7 +84,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     proc, nproc = jax.process_index(), jax.process_count()
     is_main = proc == 0
 
-    ds = UnlabeledVolumeDataset(args.images_dir, target_shape=tuple(args.volume_size))
+    ds = UnlabeledVolumeDataset(args.images_dir, target_shape=tuple(args.volume_size),
+                                cache=args.cache_volumes)
     per_host = args.batch_size // nproc
     loader = VolumeLoader(ds, per_host, shuffle=True, seed=args.seed,
                           num_hosts=nproc, host_id=proc)

@@ -186,6 +186,21 @@ class TestSplits:
         assert extract_id("la_003_42.png") == "la_003"
         assert extract_id("liver_117_0.png") == "liver_117"
 
+    def test_extract_id_nifti_volume_is_own_id(self):
+        # volumetric path: la_003.nii.gz keys the same volume as la_003_*.png
+        assert extract_id("la_003.nii.gz") == "la_003"
+        assert extract_id("la_003.nii") == "la_003"
+
+    def test_write_splits_from_nifti_dir(self, tmp_path):
+        img_dir = tmp_path / "imagesTr"
+        img_dir.mkdir()
+        for v in range(10):
+            (img_dir / f"la_{v:03d}.nii.gz").write_bytes(b"")
+        out = write_splits(str(img_dir), str(tmp_path / "splits"), seed=0)
+        sp = json.load(open(out[-2]))  # split_100_percent_train.json
+        assert len(sp["train"]) + len(sp["val"]) + len(sp["test"]) == 10
+        assert all(i.startswith("la_") and ".nii" not in i for i in sp["train"])
+
     def test_split_fractions_and_disjoint(self):
         ids = [f"v_{i:03d}" for i in range(100)]
         sp = create_split(ids, seed=0)

@@ -153,6 +153,29 @@ class TestVolumeDataset:
             DecathlonVolumeDataset(str(task_dir / "imagesTr"), str(task_dir / "labelsTr"),
                                    target_shape=(8, 16, 16), split_file=str(sf), split="test")
 
+    def test_ram_cache_identical_and_hit(self, task_dir):
+        from medical_image_segmentation_tpu.data.volumes import (
+            DecathlonVolumeDataset,
+            UnlabeledVolumeDataset,
+        )
+
+        plain = DecathlonVolumeDataset(str(task_dir / "imagesTr"), str(task_dir / "labelsTr"),
+                                       target_shape=(8, 16, 16))
+        cached = DecathlonVolumeDataset(str(task_dir / "imagesTr"), str(task_dir / "labelsTr"),
+                                        target_shape=(8, 16, 16), cache=True)
+        for i in range(len(plain)):
+            for a, b in zip(plain[i], cached[i]):
+                np.testing.assert_array_equal(a, b)
+        # second read comes from the cache (same objects, no re-decode)
+        assert cached[1][0] is cached[1][0]
+        assert len(cached._cache) == len(plain)
+
+        u_plain = UnlabeledVolumeDataset(str(task_dir / "imagesTr"), target_shape=(8, 16, 16))
+        u_cached = UnlabeledVolumeDataset(str(task_dir / "imagesTr"), target_shape=(8, 16, 16),
+                                          cache=True)
+        np.testing.assert_array_equal(u_plain[2][0], u_cached[2][0])
+        assert u_cached[2][0] is u_cached[2][0]
+
     def test_loader_host_sharding_lockstep(self, task_dir):
         from medical_image_segmentation_tpu.data.volumes import DecathlonVolumeDataset, VolumeLoader
 
