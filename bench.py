@@ -158,6 +158,7 @@ def _seg3d_bench(args):
     vol = tuple(args.volume_size)
     crop = tuple(args.crop3d)
     task = Segmentation3DTask(
+        features=tuple(args.features3d),
         learning_rate=1.0, warmup_epochs=10, max_epochs=50, steps_per_epoch=100,
         remat=args.remat,
     )
@@ -197,7 +198,7 @@ def _seg3d_bench(args):
         "value": round(per_chip, 2),
         "unit": "volumes/sec/chip",
         "vs_baseline": round(per_chip * crop[0] / 5000.0, 3),
-        "task": "seg3d", "mfu": mfu,
+        "task": "seg3d", "mfu": mfu, "features": list(args.features3d),
     }))
     return 0
 
@@ -314,6 +315,11 @@ def main():
                     metavar=("D", "H", "W"), help="seg3d: stored volume shape")
     ap.add_argument("--crop3d", type=int, nargs=3, default=(32, 64, 64),
                     metavar=("D", "H", "W"), help="seg3d: random train crop")
+    ap.add_argument("--features3d", type=int, nargs="+", default=(32, 64, 128, 256),
+                    help="seg3d: UNet3D stage widths (matches "
+                         "train_segmentation3d --features); wider stages map "
+                         "better onto the 128-lane MXU — see the geometry "
+                         "study in BASELINE.md")
     args = ap.parse_args()
     if args.batch_size is None:
         args.batch_size = {"byol": 1024, "seg": 128, "seg3d": 4, "predict": 256}[args.task]

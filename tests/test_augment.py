@@ -3,6 +3,7 @@
 
 import cv2
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -262,6 +263,7 @@ class TestMultiWindowChannels:
                     - 0.5) / 0.25
             np.testing.assert_allclose(np.asarray(x)[..., c], want, atol=1e-5)
 
+    @pytest.mark.slow
     def test_seg_task_trains_on_windowed_input(self):
         """A 3-window U-Net takes a jitted train step and the loss is finite
         (the in_channels plumbing end-to-end at task level)."""

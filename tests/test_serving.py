@@ -28,6 +28,7 @@ def _tiny_task_state(image_size=64, seed=0):
 
 
 class TestServeRoundtrip:
+    @pytest.mark.slow
     def test_export_load_matches_direct_predict(self, tmp_path):
         """Exported buckets reproduce the live jitted function exactly, for
         exact-bucket, padded-tail, and multi-chunk (N > max bucket) calls."""
@@ -103,6 +104,7 @@ class TestServeRoundtrip:
 
 
 class TestExportCLI:
+    @pytest.mark.slow
     def test_export_then_predict_cli(self, tmp_path, capfd):
         """mis-export on a real checkpoint, then mis-predict --exported
         serves the same masks as the checkpoint-backed path."""
