@@ -76,6 +76,9 @@ def main():
     ap.add_argument("--volume", type=int, nargs=3, default=(64, 96, 96), metavar=("D", "H", "W"))
     ap.add_argument("--batches", type=int, nargs="+", default=(16, 32, 64))
     ap.add_argument("--skip_full", action="store_true")
+    ap.add_argument("--skip_blocks", action="store_true",
+                    help="skip sections 2-3 (fwd/bwd + per-stage blocks); "
+                         "with --skip_full leaves only norm variants + tails")
     args = ap.parse_args()
     steps = 5 if args.quick else 10
     crop = tuple(args.crop)
@@ -128,55 +131,56 @@ def main():
 
     # ---- 2. isolated fwd / fwd+bwd at the crop shape ------------------------
     batch = args.batches[-1]
-    model = UNet3D()
-    x = jnp.asarray(rng.standard_normal((batch, *crop, 1)), jnp.bfloat16)
     y = jnp.asarray((rng.random((batch, *crop, 1)) < 0.2), jnp.bfloat16)
-    variables = model.init(jax.random.key(0), jnp.zeros((1, *crop, 1), jnp.float32), train=True)
+    if not args.skip_blocks:
+        model = UNet3D()
+        x = jnp.asarray(rng.standard_normal((batch, *crop, 1)), jnp.bfloat16)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, *crop, 1), jnp.float32), train=True)
 
-    def full_fwd(v, xx):
-        return model.apply(v, xx, train=False)
+        def full_fwd(v, xx):
+            return model.apply(v, xx, train=False)
 
-    rows.append(report(f"UNet3D fwd b{batch} (eval mode)",
-                       timeit(jax.jit(full_fwd), variables, x, steps=steps),
-                       step_flops(full_fwd, variables, x)))
+        rows.append(report(f"UNet3D fwd b{batch} (eval mode)",
+                           timeit(jax.jit(full_fwd), variables, x, steps=steps),
+                           step_flops(full_fwd, variables, x)))
 
-    def loss_fn(p, xx, yy):
-        logits = model.apply({"params": p}, xx, train=True)
-        return dice_loss(logits, yy)
+        def loss_fn(p, xx, yy):
+            logits = model.apply({"params": p}, xx, train=True)
+            return dice_loss(logits, yy)
 
-    g = jax.jit(jax.grad(loss_fn))
-    rows.append(report(f"UNet3D fwd+bwd b{batch} (dice grad)",
-                       timeit(g, variables["params"], x, y, steps=steps),
-                       step_flops(lambda p, a, b: jax.grad(loss_fn)(p, a, b),
-                                  variables["params"], x, y)))
+        g = jax.jit(jax.grad(loss_fn))
+        rows.append(report(f"UNet3D fwd+bwd b{batch} (dice grad)",
+                           timeit(g, variables["params"], x, y, steps=steps),
+                           step_flops(lambda p, a, b: jax.grad(loss_fn)(p, a, b),
+                                      variables["params"], x, y)))
 
-    # ---- 3. per-stage ConvBlock3D at the exact shapes -----------------------
-    # encoder: (cin -> f) at shrinking extents; decoder: (f + skip -> f)
-    d, h, w = crop
-    feats = (32, 64, 128, 256)
-    stages = []
-    cin = 1
-    ext = (d, h, w)
-    for i, f in enumerate(feats):
-        stages.append((f"enc{i} {ext[0]}x{ext[1]}x{ext[2]} {cin}->{f}", ext, cin, f))
-        cin = f
-        if i < len(feats) - 1:
-            ext = tuple(e // 2 for e in ext)
-    for i, f in enumerate(reversed(feats[:-1])):
-        ext = tuple(e * 2 for e in ext)
-        cin_dec = (feats[-1] if i == 0 else list(reversed(feats[:-1]))[i - 1]) + f
-        stages.append((f"dec{i} {ext[0]}x{ext[1]}x{ext[2]} {cin_dec}->{f}", ext, cin_dec, f))
+        # ---- 3. per-stage ConvBlock3D at the exact shapes -------------------
+        # encoder: (cin -> f) at shrinking extents; decoder: (f + skip -> f)
+        d, h, w = crop
+        feats = (32, 64, 128, 256)
+        stages = []
+        cin = 1
+        ext = (d, h, w)
+        for i, f in enumerate(feats):
+            stages.append((f"enc{i} {ext[0]}x{ext[1]}x{ext[2]} {cin}->{f}", ext, cin, f))
+            cin = f
+            if i < len(feats) - 1:
+                ext = tuple(e // 2 for e in ext)
+        for i, f in enumerate(reversed(feats[:-1])):
+            ext = tuple(e * 2 for e in ext)
+            cin_dec = (feats[-1] if i == 0 else list(reversed(feats[:-1]))[i - 1]) + f
+            stages.append((f"dec{i} {ext[0]}x{ext[1]}x{ext[2]} {cin_dec}->{f}", ext, cin_dec, f))
 
-    for name, ext, ci, f in stages:
-        xb = jnp.asarray(rng.standard_normal((batch, *ext, ci)), jnp.bfloat16)
-        blk = ConvBlock3D(filters=f)
-        v = blk.init(jax.random.key(0), xb, train=False)
+        for name, ext, ci, f in stages:
+            xb = jnp.asarray(rng.standard_normal((batch, *ext, ci)), jnp.bfloat16)
+            blk = ConvBlock3D(filters=f)
+            v = blk.init(jax.random.key(0), xb, train=False)
 
-        def blk_fwd(vv, a):
-            return blk.apply(vv, a, train=False)
+            def blk_fwd(vv, a):
+                return blk.apply(vv, a, train=False)
 
-        rows.append(report(f"block {name}", timeit(jax.jit(blk_fwd), v, xb, steps=steps),
-                           step_flops(blk_fwd, v, xb)))
+            rows.append(report(f"block {name}", timeit(jax.jit(blk_fwd), v, xb, steps=steps),
+                               step_flops(blk_fwd, v, xb)))
 
     # ---- 4. norm variants + head/tail ---------------------------------------
     xb = jnp.asarray(rng.standard_normal((batch, *crop, 32)), jnp.bfloat16)
