@@ -163,9 +163,28 @@ struct BitReader {
   }
 };
 
-// A.5.3 limited-length Golomb decode of a mapped error value
+// A.5.3 limited-length Golomb decode of a mapped error value.
+//
+// Fast path (the regular-mode hot loop): ONE refill guarantees >= 57 live
+// bits, so for the overwhelmingly common short codes the unary run AND the
+// k remainder bits both sit in the accumulator already — one clz + one
+// shift/mask extracts the whole codeword, replacing the per-bit loop +
+// second refill-checked read (round-4 pass; ~1.3x on noisy CT content,
+// BASELINE.md loader table). Long runs / escape codes / exhausted windows
+// fall back to the original exact path with the reader state untouched.
 static inline int64_t golomb_decode(BitReader& br, int k, int limit, int qbpp,
                                     int* err) {
+  if (br.nbits <= 56) br.refill();
+  if (br.acc != 0) {
+    const int top = 63 - __builtin_clzll(br.acc);  // terminating 1-bit
+    const int high = br.nbits - 1 - top;
+    if (high < limit - (qbpp + 1) && top >= k) {
+      br.nbits = top - k;  // consume the zeros, the 1, and the k low bits
+      const int64_t low = k ? int64_t(br.acc >> br.nbits) & ((int64_t(1) << k) - 1) : 0;
+      br.acc &= (uint64_t(1) << br.nbits) - 1;
+      return (int64_t(high) << k) | low;
+    }
+  }
   int high = br.read_unary(limit + 1, err);
   if (*err) return 0;
   if (high < limit - (qbpp + 1))
@@ -293,7 +312,12 @@ static inline int fix_reconstructed(int64_t v, const Params& p) {
   return clampv(v, p.maxval);
 }
 
-// Decode one component scan (A.3–A.8) into out (stride elements per pixel)
+// Decode one component scan (A.3–A.8) into out (stride elements per pixel).
+// `rows` may be a ROW LIMIT below the scan's true height: T.87 context
+// adaptation is causal top-to-bottom, so decoding the first `rows` lines of
+// a taller scan is bit-identical to a full decode truncated — the windowed
+// crop-at-decode lever for JLS (columns can NOT be skipped: every sample
+// feeds the left-to-right context chain).
 static int decode_scan(BitReader& br, int rows, int cols, const Params& p,
                        uint16_t* out, int stride) {
   Contexts ctx(p);
@@ -649,12 +673,14 @@ int jpegls_probe(const uint8_t* data, int64_t size, int* rows, int* cols,
   return 0;
 }
 
-int jpegls_decode(const uint8_t* data, int64_t size, uint16_t* out,
-                  int64_t out_capacity) {
+static int jpegls_decode_impl(const uint8_t* data, int64_t size, uint16_t* out,
+                              int64_t out_capacity, int max_rows) {
   Header h;
   int rc = parse_header(data, size, &h);
   if (rc) return rc;
-  if (int64_t(h.rows) * h.cols * h.ncomp > out_capacity) return 15;
+  const int rows_dec =
+      (max_rows > 0 && max_rows < h.rows) ? max_rows : h.rows;
+  if (int64_t(rows_dec) * h.cols * h.ncomp > out_capacity) return 15;
   int sos_ns = h.sos_ns, sos_near = h.sos_near, sos_ilv = h.sos_ilv;
   int64_t pos = h.entropy_start;
   for (int comp = 0; comp < h.ncomp; ++comp) {
@@ -666,7 +692,7 @@ int jpegls_decode(const uint8_t* data, int64_t size, uint16_t* out,
              : make_params(h.precision, sos_near, 0, 0, 0, 0, 0, &p);
     if (rc) return rc;
     BitReader br(data, size, pos);
-    rc = decode_scan(br, h.rows, h.cols, p, out + comp, h.ncomp);
+    rc = decode_scan(br, rows_dec, h.cols, p, out + comp, h.ncomp);
     if (rc) return rc;
     if (comp + 1 == h.ncomp) break;
     // Find the next SOS after this scan's entropy data. The buffered reader
@@ -695,6 +721,22 @@ int jpegls_decode(const uint8_t* data, int64_t size, uint16_t* out,
     pos = nxt + 2 + seglen;
   }
   return 0;
+}
+
+int jpegls_decode(const uint8_t* data, int64_t size, uint16_t* out,
+                  int64_t out_capacity) {
+  return jpegls_decode_impl(data, size, out, out_capacity, 0);
+}
+
+// Row-limited decode: emit only the first `max_rows` lines of each component
+// (full width), bit-identical to a truncated full decode (T.87 contexts are
+// causal). Output layout (min(max_rows, rows), cols, ncomp). The loader's
+// crop-at-decode path uses this to stop entropy-decoding below the RRC
+// windows' union last row (csrc/mis_loader.cpp); columns cannot be skipped —
+// see decode_scan.
+int jpegls_decode_rows(const uint8_t* data, int64_t size, uint16_t* out,
+                       int64_t out_capacity, int max_rows) {
+  return jpegls_decode_impl(data, size, out, out_capacity, max_rows);
 }
 
 // Encode (rows, cols, ncomp) component-last uint16 samples → a complete

@@ -23,6 +23,7 @@
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <functional>
 #include <mutex>
@@ -43,6 +44,9 @@ extern "C" int jpegls_probe(const uint8_t* data, int64_t size, int* rows,
                             int* cols, int* ncomp, int* precision);
 extern "C" int jpegls_decode(const uint8_t* data, int64_t size, uint16_t* out,
                              int64_t out_capacity);
+extern "C" int jpegls_decode_rows(const uint8_t* data, int64_t size,
+                                  uint16_t* out, int64_t out_capacity,
+                                  int max_rows);
 
 namespace {
 
@@ -317,6 +321,42 @@ int decode_jls16(const uint8_t* buf, size_t len, std::vector<uint16_t>& tmp,
   if (jpegls_decode(buf, (int64_t)len, tmp.data(), (int64_t)tmp.size()) != 0) return -9;
   *h = rows;
   *w = cols;
+  *precision = prec;
+  return 0;
+}
+
+void clamp_window(const float* p, int h, int w,
+                  float* y0, float* x0, float* ch, float* cw);  // below
+
+// JPEG-LS crop-at-decode: stop entropy-decoding after the crop windows'
+// union LAST ROW (+1 px bilinear margin). T.87 is line-sequential with
+// causal contexts, so the prefix decode is bit-identical to a truncated
+// full decode (columns cannot be skipped — every sample feeds the
+// left-to-right context chain); RRC windows average well above half the
+// image height, so this is a bounded (~1.1-1.2x) but free win — the JLS
+// analogue of decode_jpeg_region's jpeg_abort_decompress tail skip.
+// Decodes rows [0, dec_rows) full-width into tmp; reports full dims.
+int decode_jls16_rows(const uint8_t* buf, size_t len, std::vector<uint16_t>& tmp,
+                      int want_c, const float* params, int views,
+                      int* h, int* w, int* dec_rows, int* precision) {
+  int rows = 0, cols = 0, ncomp = 0, prec = 0;
+  if (jpegls_probe(buf, (int64_t)len, &rows, &cols, &ncomp, &prec) != 0) return -9;
+  if (ncomp != want_c || rows <= 0 || cols <= 0) return -3;
+  float yhi = 0.f;
+  for (int v = 0; v < views; ++v) {
+    float y0, x0, ch, cw;
+    clamp_window(params + v * 5, rows, cols, &y0, &x0, &ch, &cw);
+    yhi = std::max(yhi, y0 + ch);
+  }
+  int y_hi = std::min(rows, (int)yhi + 2);
+  if (y_hi < 1) y_hi = 1;
+  tmp.resize(size_t(y_hi) * cols * ncomp);
+  if (jpegls_decode_rows(buf, (int64_t)len, tmp.data(), (int64_t)tmp.size(),
+                         y_hi) != 0)
+    return -9;
+  *h = rows;
+  *w = cols;
+  *dec_rows = y_hi;
   *precision = prec;
   return 0;
 }
@@ -733,6 +773,39 @@ int mis_fetch_views_impl(void* store, const int64_t* indices, int n,
           region_decoded = true;
         }
       }
+      // MIS_JLS_FULL_DECODE=1 disables the row-limited JLS path (falls back
+      // to whole-frame decode): the A/B lever for tools/bench_loader.py and
+      // an escape hatch, mirroring nothing upstream (read once, cheap).
+      static const bool jls_full_decode = [] {
+        const char* e = getenv("MIS_JLS_FULL_DECODE");
+        return e && e[0] == '1';
+      }();
+      if (rec && rec->codec == kCodecJls && !region_decoded && !jls_full_decode &&
+          rec->offset <= s->size && rec->length <= s->size - rec->offset) {
+        // JPEG-LS: stop entropy-decoding below the windows' union last row
+        // (decode_jls16_rows) — rows only; T.87 columns are not skippable
+        labels[i] = rec->label;
+        int dec_rows = 0, prec = 0;
+        if constexpr (sizeof(T) == 1) {
+          thread_local std::vector<uint16_t> wide;
+          rc = decode_jls16_rows(s->base + rec->offset, rec->length, wide, oc,
+                                 params + size_t(i) * views * 5, views,
+                                 &h, &w, &dec_rows, &prec);
+          if (rc == 0 && prec > 8) rc = -8;  // >8-bit payload in a u8 store
+          if (rc == 0) {
+            tmp.resize(wide.size());
+            for (size_t j = 0; j < wide.size(); ++j) tmp[j] = (T)wide[j];
+            src = tmp.data();
+          }
+        } else {
+          rc = decode_jls16_rows(s->base + rec->offset, rec->length, tmp, oc,
+                                 params + size_t(i) * views * 5, views,
+                                 &h, &w, &dec_rows, &prec);
+          src = tmp.data();
+        }
+        ox = 0; oy = 0; sw = w; sh = dec_rows;
+        region_decoded = true;
+      }
       if (!region_decoded) {
         rc = decode_native(s, idx, tmp, oc, &h, &w, &src, labels + i);
         sh = h;
@@ -814,9 +887,10 @@ int mis_fetch_views(void* store, const int64_t* indices, int n,
                               vh, vw, oc, labels, num_threads);
 }
 
-// uint16 stores: same contract, uint16 view buffer. No windowed-JPEG fast
-// path (u16 payloads are RAW/PNG16/JLS); the decode-once + V-crops structure
-// is identical.
+// uint16 stores: same contract, uint16 view buffer. JLS payloads take the
+// row-limited crop-at-decode path (decode_jls16_rows — the u16 analogue of
+// the windowed-JPEG fast path; rows only, T.87 columns are not skippable);
+// RAW/PNG16 decode whole frames.
 int mis_fetch_views_u16(void* store, const int64_t* indices, int n,
                         const float* params, int views, uint16_t* out,
                         int vh, int vw, int oc, int32_t* labels, int num_threads) {

@@ -139,6 +139,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64,
         ]
+        # row-limited decode (crop-at-decode for JLS; bit-identical prefix)
+        lib.jpegls_decode_rows.restype = ctypes.c_int
+        lib.jpegls_decode_rows.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64, ctypes.c_int,
+        ]
         lib.jpegls_encode.restype = ctypes.c_int
         lib.jpegls_encode.argtypes = [
             ctypes.POINTER(ctypes.c_uint16),

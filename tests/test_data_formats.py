@@ -699,6 +699,77 @@ class TestJPEGLS:
         arr = np.zeros((13, 57), np.uint16)
         assert jpeg_ls_probe(jpeg_ls_encode(arr, precision=10)) == (13, 57, 1, 10, 0)
 
+    def test_row_limited_decode_is_bit_identical_prefix(self):
+        """jpegls_decode_rows(max_rows) must equal the first max_rows rows of
+        a full decode, for every row limit and content class — the contract
+        the loader's JLS crop-at-decode path relies on (T.87 contexts are
+        causal top-to-bottom, so a prefix decode is exact, not approximate).
+        Covers: noise, run-heavy, CT-like content; multi-component ILV=0;
+        near-lossless; and limits past the true height (clamped)."""
+        from medical_image_segmentation_tpu.data.jpegls import jpeg_ls_encode
+        from medical_image_segmentation_tpu.data.store.native import get_lib
+
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "jpegls_decode_rows"):
+            pytest.skip("native toolchain unavailable")
+        import ctypes
+
+        rng = np.random.default_rng(11)
+        y, x = np.mgrid[0:48, 0:37]
+        smooth = ((np.sin(y / 7.0) * np.cos(x / 5.0) + 1) * 2000).astype(np.uint16)
+        cases = [
+            (rng.integers(0, 4096, size=(48, 37, 1)).astype(np.uint16), 12, 0),
+            (np.repeat(((y + x) % 7 == 0).astype(np.uint16) * 255, 1).reshape(48, 37, 1), 8, 0),
+            (np.clip(smooth + rng.integers(-30, 30, smooth.shape), 0, 4095)
+             .astype(np.uint16)[..., None], 12, 0),
+            (rng.integers(0, 256, size=(48, 37, 3)).astype(np.uint16), 8, 0),
+            (rng.integers(0, 4096, size=(48, 37, 1)).astype(np.uint16), 12, 3),
+        ]
+        for arr, prec, near in cases:
+            blob = jpeg_ls_encode(arr, precision=prec, near=near)
+            full = np.empty(arr.size, np.uint16)
+            assert lib.jpegls_decode(
+                blob, len(blob),
+                full.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), full.size) == 0
+            full = full.reshape(arr.shape)
+            for rows in (1, 2, 17, 47, 48, 60):
+                r = min(rows, arr.shape[0])
+                part = np.empty(r * arr.shape[1] * arr.shape[2], np.uint16)
+                rc = lib.jpegls_decode_rows(
+                    blob, len(blob),
+                    part.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                    part.size, rows)
+                assert rc == 0, f"rc={rc} rows={rows} shape={arr.shape} near={near}"
+                np.testing.assert_array_equal(
+                    part.reshape((r,) + arr.shape[1:]), full[:r],
+                    err_msg=f"rows={rows} shape={arr.shape} near={near}")
+
+    def test_row_limited_decode_fuzz_never_crashes(self):
+        """Row-limited decode on corrupted streams: same hardening contract
+        as the full decoder (bounds-checked, nonzero rc, no crash)."""
+        from medical_image_segmentation_tpu.data.jpegls import jpeg_ls_encode
+        from medical_image_segmentation_tpu.data.store.native import get_lib
+
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "jpegls_decode_rows"):
+            pytest.skip("native toolchain unavailable")
+        import ctypes
+
+        rng = np.random.default_rng(12)
+        arr = rng.integers(0, 4096, size=(32, 32, 1)).astype(np.uint16)
+        blob = bytearray(jpeg_ls_encode(arr, precision=12))
+        out = np.empty(16 * 32, np.uint16)
+        for _ in range(60):
+            b2 = bytearray(blob)
+            b2[rng.integers(0, len(b2))] ^= 1 << rng.integers(0, 8)
+            lib.jpegls_decode_rows(
+                bytes(b2), len(b2),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), out.size, 16)
+        for cut in (3, 10, len(blob) // 2):
+            lib.jpegls_decode_rows(
+                bytes(blob[:cut]), cut,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), out.size, 16)
+
     def test_degenerate_shapes(self):
         from medical_image_segmentation_tpu.data.jpegls import (
             jpeg_ls_decode_py, jpeg_ls_encode)

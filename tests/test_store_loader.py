@@ -482,6 +482,51 @@ class TestU16Store:
                 np.testing.assert_array_equal(views[i * 2 + v], ref)
         ns.close()
 
+    def test_jls_crop_at_decode_matches_oracle(self, tmp_path):
+        """JLS row-limited crop-at-decode (csrc/mis_loader.cpp::
+        decode_jls16_rows): windows confined to the TOP of the image force
+        the truncated entropy decode (y_hi << h), which must still produce
+        views bit-identical to the full-decode numpy oracle — the contract
+        VERDICT r3 item #5 prescribes. Covers u16 stores (native JLS u16
+        payloads) and u8 stores (8-bit JLS payloads through the widening
+        branch)."""
+        from medical_image_segmentation_tpu.data.host_precrop import (
+            crop_resize_bilinear_np,
+        )
+        from medical_image_segmentation_tpu.data.store import CODEC_JLS
+        from medical_image_segmentation_tpu.data.store.native import NativeStore, get_lib
+
+        if get_lib() is None:
+            pytest.skip("native toolchain unavailable")
+        rng = np.random.default_rng(9)
+        # windows in the top third (+ one spanning past halfway): truncation
+        # points vary per sample, none reach the last rows
+        params = np.stack([
+            np.array([[2.0, 3.0, 20.0, 24.0, 0.0], [0.5, 1.5, 14.0, 17.0, 1.0]]),
+            np.array([[0.0, 0.0, 30.0, 40.0, 0.0], [7.0, 9.0, 51.0, 30.0, 1.0]]),
+            np.array([[11.0, 2.0, 9.0, 60.0, 1.0], [1.0, 40.0, 25.0, 20.0, 0.0]]),
+        ]).astype(np.float32)
+        for dtype, hi in ((np.uint16, 65536), (np.uint8, 256)):
+            imgs = rng.integers(0, hi, size=(3, 96, 80), dtype=dtype)
+            p = str(tmp_path / f"jls_{dtype.__name__}.mis")
+            with StoreWriter(p, channels=1, dtype=dtype) as wtr:
+                for i in range(3):
+                    wtr.add(imgs[i], codec=CODEC_JLS)
+            ns = NativeStore(p)
+            views, _ = ns.fetch_views(np.arange(3, dtype=np.int64), params,
+                                      (16, 16), num_threads=1)
+            assert views.dtype == dtype
+            for i in range(3):
+                for v in range(2):
+                    y0, x0, ch, cw, flip = params[i, v]
+                    ref = crop_resize_bilinear_np(
+                        imgs[i][..., None], float(y0), float(x0), float(ch),
+                        float(cw), bool(flip), 16, 16)
+                    np.testing.assert_array_equal(
+                        views[i * 2 + v], ref,
+                        err_msg=f"dtype={dtype.__name__} i={i} v={v}")
+            ns.close()
+
     def test_dtype_mismatch_rejected(self, tmp_path):
         """add() of the wrong dtype fails at write; u16 payloads cannot be
         JPEG-coded (8-bit codec)."""
