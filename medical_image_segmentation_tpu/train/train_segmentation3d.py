@@ -77,6 +77,13 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
                     help="keep decoded volumes in host RAM between epochs "
                          "(len(ds)·∏volume_size·8 bytes; NIfTI gunzip+parse "
                          "otherwise repeats every epoch)")
+    ap.add_argument("--skip_hbm_check", action="store_true",
+                    help="skip the pre-run projected-HBM guard (one extra AOT "
+                         "compile; cached when JAX_COMPILATION_CACHE_DIR is set)")
+    ap.add_argument("--force_hbm", action="store_true",
+                    help="run even when the step is projected to oversubscribe "
+                         "HBM (measured ~8x slowdown past the spill cliff — "
+                         "BASELINE.md seg3d table)")
     return ap.parse_args(argv)
 
 
@@ -177,6 +184,24 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             x = jax.lax.with_sharding_constraint(x, vol_sharding)
             y = jax.lax.with_sharding_constraint(y, vol_sharding)
         return task.train_step(state, x, y)
+
+    # Projected-HBM guard (the seg3d spill cliff: batch 96 → 284 vol/s but
+    # batch 112 → 34.9 vol/s on a v5e, BASELINE.md — XLA runs oversubscribed
+    # programs ~8x slower instead of failing). AOT-compile the step at the
+    # exact batch shapes and refuse if XLA's static memory plan exceeds the
+    # device, BEFORE the user pays for a silently crippled run. Skipped on
+    # CPU backends (no capacity to check; tests use the virtual CPU mesh).
+    if not args.skip_hbm_check:
+        from medical_image_segmentation_tpu.core.hbm import check_hbm, device_hbm_capacity, hbm_report
+        from medical_image_segmentation_tpu.parallel.mesh import data_sharding
+
+        if device_hbm_capacity() is not None:
+            spec = jax.ShapeDtypeStruct(
+                (args.batch_size, *args.volume_size, 1), jnp.float32,
+                sharding=data_sharding(mesh, ndim=5))
+            mem = hbm_report(train_step, state, spec, spec, jax.random.key(0))
+            check_hbm(mem, label=f"seg3d train step (batch {args.batch_size})",
+                      force=args.force_hbm)
 
     @jax.jit
     def eval_step(state, vols, msks):
