@@ -51,14 +51,75 @@ def _peak_flops_per_chip() -> float | None:
 
 def _step_flops(jitted, *args) -> float | None:
     """FLOPs of one compiled step from XLA's cost analysis (fwd+bwd+update)."""
+    f, _ = _step_cost(jitted, *args)
+    return f
+
+
+def _step_cost(jitted, *args):
+    """(flops, memory_report) of one compiled step — one AOT lower+compile
+    feeds both XLA's cost analysis and its static memory plan (core/hbm.py).
+    Call AFTER timing: AOT-compiling a jit wrapper perturbs its subsequent
+    dispatch on the axon remote platform (see the note in main())."""
+    from medical_image_segmentation_tpu.core.hbm import device_hbm_capacity, memory_analysis_of
+
     try:
-        an = jitted.lower(*args).compile().cost_analysis()
+        compiled = jitted.lower(*args).compile()
+    except Exception:
+        return None, None
+    flops = None
+    try:
+        an = compiled.cost_analysis()
         if isinstance(an, (list, tuple)):
             an = an[0]
         f = float(an.get("flops", 0.0))
-        return f if f > 0 else None
+        flops = f if f > 0 else None
     except Exception:
-        return None
+        pass
+    mem = memory_analysis_of(compiled)
+    if mem is not None:
+        cap = device_hbm_capacity()
+        mem["capacity"] = cap
+        mem["oversubscribed"] = bool(cap is not None and mem["projected_peak"] > cap)
+    return flops, mem
+
+
+def _hbm_json_fields(mem) -> dict:
+    """JSON-line fields for the projected-HBM report (None-safe)."""
+    if not mem:
+        return {}
+    out = {"projected_hbm_gb": round(mem["projected_peak"] / 1024**3, 3)}
+    if mem.get("capacity"):
+        out["hbm_capacity_gb"] = round(mem["capacity"] / 1024**3, 3)
+        out["hbm_oversubscribed"] = mem["oversubscribed"]
+    return out
+
+
+def _hbm_check_exit(step, args_tuple, task: str, extra: dict | None = None) -> int:
+    """--hbm_check: AOT-compile the step, print the projected-HBM diagnosis,
+    emit one JSON line, and exit WITHOUT running it — predicts the seg3d
+    HBM cliff (284 -> 34.9 vol/s between batch 96 and 112, BASELINE.md)
+    in one compile instead of a silently slow run."""
+    from medical_image_segmentation_tpu.core.hbm import format_hbm_report
+
+    flops, mem = _step_cost(step, *args_tuple)
+    if mem is None:
+        print("hbm_check: backend exposes no memory analysis", file=sys.stderr)
+        return 4
+    print(format_hbm_report(mem, label=f"{task} step"), file=sys.stderr)
+    if mem.get("oversubscribed"):
+        print(f"WARNING: {task} step projected to OVERSUBSCRIBE HBM — expect "
+              "a ~8x slowdown (measured: seg3d b112 vs b96); lower "
+              "--batch_size, use --remat, or shard wider", file=sys.stderr)
+    out = {"metric": f"{task}_projected_hbm_gb",
+           "value": round(mem["projected_peak"] / 1024**3, 3),
+           "unit": "GiB", "vs_baseline": None, "task": task,
+           "hbm_check": True, **_hbm_json_fields(mem)}
+    if flops:
+        out["step_gflops"] = round(flops / 1e9, 1)
+    if extra:
+        out.update(extra)
+    print(json.dumps(out))
+    return 2 if mem.get("oversubscribed") else 0
 
 
 def _make_auto_store(path: str, n: int, size: int, codec_name: str) -> None:
@@ -113,6 +174,10 @@ def _seg_bench(args):
     msks = shard_batch(mesh, (rng.random(
         (args.batch_size, args.image_size, args.image_size, 1)) < 0.2).astype(np.uint8))
     key = jax.random.key(1)
+    if args.hbm_check:
+        return _hbm_check_exit(step, (state, imgs, msks, key), "seg",
+                               {"batch_size": args.batch_size,
+                                "image_size": args.image_size})
     for i in range(args.warmup):
         state, metrics = step(state, imgs, msks, jax.random.fold_in(key, i))
     float(metrics["train/loss"])  # host fence (axon: block_until_ready lies)
@@ -123,7 +188,7 @@ def _seg_bench(args):
     dt = time.perf_counter() - t0
     imgs_per_sec = args.batch_size * args.steps / dt
     per_chip = imgs_per_sec / n_chips
-    flops = _step_flops(step, state, imgs, msks, key)
+    flops, mem = _step_cost(step, state, imgs, msks, key)
     peak = _peak_flops_per_chip()
     mfu = round(flops * args.steps / dt / (peak * n_chips), 4) if flops and peak else None
     print(f"[seg] loss={final_loss:.4f} total={imgs_per_sec:.0f} img/s "
@@ -134,6 +199,8 @@ def _seg_bench(args):
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / 5000.0, 3),
         "task": "seg", "mfu": mfu,
+        "image_size": args.image_size,
+        **_hbm_json_fields(mem),
     }))
     return 0
 
@@ -178,6 +245,10 @@ def _seg3d_bench(args):
     vols = shard_batch(mesh, rng.random((args.batch_size, *vol, 1)).astype(np.float32))
     msks = shard_batch(mesh, (rng.random((args.batch_size, *vol, 1)) < 0.2).astype(np.float32))
     key = jax.random.key(1)
+    if args.hbm_check:
+        return _hbm_check_exit(step, (state, vols, msks, key), "seg3d",
+                               {"batch_size": args.batch_size,
+                                "features": list(args.features3d)})
     for i in range(args.warmup):
         state, metrics = step(state, vols, msks, jax.random.fold_in(key, i))
     float(metrics["train/loss"])  # host fence (axon: block_until_ready lies)
@@ -188,17 +259,23 @@ def _seg3d_bench(args):
     dt = time.perf_counter() - t0
     vols_per_sec = args.batch_size * args.steps / dt
     per_chip = vols_per_sec / n_chips
-    flops = _step_flops(step, state, vols, msks, key)
+    flops, mem = _step_cost(step, state, vols, msks, key)
     peak = _peak_flops_per_chip()
     mfu = round(flops * args.steps / dt / (peak * n_chips), 4) if flops and peak else None
     print(f"[seg3d] loss={final_loss:.4f} total={vols_per_sec:.1f} vol/s "
           f"({dt/args.steps*1e3:.1f} ms/step, crop {crop})", file=sys.stderr)
+    if mem and mem.get("oversubscribed"):
+        print("WARNING: this config's projected HBM exceeds device capacity — "
+              "the measured rate sits past the spill cliff (BASELINE.md seg3d "
+              "table); use --hbm_check to predict this without running",
+              file=sys.stderr)
     print(json.dumps({
         "metric": "seg3d_train_volumes_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "volumes/sec/chip",
         "vs_baseline": round(per_chip * crop[0] / 5000.0, 3),
         "task": "seg3d", "mfu": mfu, "features": list(args.features3d),
+        **_hbm_json_fields(mem),
     }))
     return 0
 
@@ -243,6 +320,10 @@ def _predict_bench(args):
     rng = np.random.default_rng(0)
     imgs = shard_batch(mesh, rng.integers(
         0, 256, size=(args.batch_size, args.image_size, args.image_size, 1)).astype(np.uint8))
+    if args.hbm_check:
+        return _hbm_check_exit(predict, (imgs,), "predict",
+                               {"batch_size": args.batch_size,
+                                "image_size": args.image_size})
     masks = predict(imgs)  # compile
     for _ in range(args.warmup):
         masks = predict(imgs)
@@ -255,6 +336,42 @@ def _predict_bench(args):
     lat = np.array(lat)
     dt = float(lat.sum())
     per_chip = args.batch_size * args.steps / dt / n_chips
+    out_extra = {}
+    if args.exported:
+        # Also time the AOT serving-artifact path (`mis-export` → `.misx`):
+        # the same weights exported at this batch bucket, the bucket function
+        # called directly (what `ServingPredictor.__call__` dispatches to;
+        # its numpy D2H copy is excluded for the same tunnel reason as the
+        # jit path's one-element fence above). Exported artifacts are lowered
+        # without shardings — single-chip by design (serve.py docstring).
+        from medical_image_segmentation_tpu.serve import export_predictor
+
+        ex_b = args.batch_size // n_chips if n_chips > 1 else args.batch_size
+        exported = export_predictor(
+            task, state, args.image_size, 0.2089, 0.2109,
+            batch_sizes=(ex_b,), fp32=args.fp32)[ex_b]
+        ex_imgs = jnp.asarray(rng.integers(
+            0, 256, size=(ex_b, args.image_size, args.image_size, 1)).astype(np.uint8))
+        ex_call = exported.call
+        fence(ex_call(ex_imgs))  # compile (XLA consumes embedded StableHLO)
+        for _ in range(args.warmup):
+            ex_call(ex_imgs)
+        fence(ex_call(ex_imgs))
+        ex_lat = []
+        for _ in range(args.steps):
+            t0 = time.perf_counter()
+            fence(ex_call(ex_imgs))
+            ex_lat.append(time.perf_counter() - t0)
+        ex_lat = np.array(ex_lat)
+        out_extra = {
+            "exported_images_per_sec_per_chip": round(ex_b * args.steps / float(ex_lat.sum()), 1),
+            "exported_batch": ex_b,
+            "exported_latency_ms_p50": round(float(np.percentile(ex_lat, 50)) * 1e3, 2),
+            "exported_latency_ms_p99": round(float(np.percentile(ex_lat, 99)) * 1e3, 2),
+        }
+        print(f"[predict --exported] {out_extra['exported_images_per_sec_per_chip']:.0f} img/s "
+              f"(batch {ex_b}, p50 {out_extra['exported_latency_ms_p50']:.1f} ms, "
+              f"p99 {out_extra['exported_latency_ms_p99']:.1f} ms)", file=sys.stderr)
     flops = _step_flops(predict, imgs)
     peak = _peak_flops_per_chip()
     mfu = round(flops * args.steps / dt / (peak * n_chips), 4) if flops and peak else None
@@ -268,8 +385,95 @@ def _predict_bench(args):
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / 5000.0, 3),
         "task": "predict", "mfu": mfu,
+        "image_size": args.image_size, "fp32": args.fp32,
         "batch_latency_ms_p50": round(float(np.percentile(lat, 50)) * 1e3, 2),
         "batch_latency_ms_p99": round(float(np.percentile(lat, 99)) * 1e3, 2),
+        **out_extra,
+    }))
+    return 0
+
+
+def _predict3d_bench(args):
+    """Volumetric serving-path throughput: whole-volume masks via overlapped
+    sliding-window blending (`eval/sliding_window.py::sliding_window_predict_3d`
+    — the function `mis-predict3d` deploys). Times END-TO-END per-volume
+    latency: window extraction + batched 3D U-Net forwards + Hann scatter-
+    blend, all on device; reports vol/s, slice-equivalent img/s, and p50/p99
+    per-volume latency. The reference has no 3D path at all."""
+    import jax
+    import jax.numpy as jnp
+
+    from medical_image_segmentation_tpu.eval.sliding_window import sliding_window_predict_3d
+    from medical_image_segmentation_tpu.train.seg3d_task import Segmentation3DTask
+
+    if args.store is not None or args.precrop:
+        raise SystemExit("--task predict3d benchmarks device-resident volumes")
+    if args.hbm_check:
+        raise SystemExit("--hbm_check is for train steps (seg/seg3d) and "
+                         "predict; sliding-window inference is many small "
+                         "programs, not one")
+    vol = tuple(args.volume_size)
+    window = tuple(args.crop3d)
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    task = Segmentation3DTask(features=tuple(args.features3d),
+                              learning_rate=1.0, warmup_epochs=0, max_epochs=1,
+                              steps_per_epoch=1, dtype=dtype)
+    state = task.init(jax.random.key(0), (1, *window, 1))
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+
+    @jax.jit
+    def window_fn(windows):
+        return task.model.apply(variables, windows, train=False)
+
+    rng = np.random.default_rng(0)
+    volume = jnp.asarray(rng.random((*vol, 1)).astype(np.float32))
+
+    def run():
+        return sliding_window_predict_3d(
+            window_fn, volume, window=window, batch_windows=args.batch_size)
+
+    def fence(m):
+        return float(jnp.ravel(m)[0])
+
+    fence(run())  # compile (extract + forward + blend programs)
+    for _ in range(args.warmup):
+        run()
+    fence(run())
+    lat = []
+    for _ in range(args.steps):
+        t0 = time.perf_counter()
+        fence(run())
+        lat.append(time.perf_counter() - t0)
+    lat = np.array(lat)
+    dt = float(lat.sum())
+    vols_per_sec = args.steps / dt
+    flops = _step_flops(window_fn, jnp.zeros((args.batch_size, *window, 1), jnp.float32))
+    # windows per volume (right-aligned half-overlap tiling, padded to batch)
+    import math
+    n_win = 1
+    for full, w in zip(vol, window):
+        s = max(1, w // 2)
+        n_win *= 1 if full <= w else len(range(0, full - w + 1, s)) + (
+            0 if (full - w) % s == 0 else 1)
+    n_batches = math.ceil(n_win / args.batch_size)
+    peak = _peak_flops_per_chip()
+    mfu = (round(flops * n_batches * args.steps / dt / peak, 4)
+           if flops and peak else None)
+    print(f"[predict3d] {vols_per_sec:.2f} vol/s (volume {vol}, window {window}, "
+          f"{n_win} windows/{n_batches} batches, p50 {np.percentile(lat,50)*1e3:.0f} ms, "
+          f"p99 {np.percentile(lat,99)*1e3:.0f} ms)", file=sys.stderr)
+    print(json.dumps({
+        "metric": "predict3d_volumes_per_sec_per_chip",
+        "value": round(vols_per_sec, 2),
+        "unit": "volumes/sec/chip",
+        "vs_baseline": round(vols_per_sec * vol[0] / 5000.0, 4),
+        "task": "predict3d", "mfu": mfu,
+        "volume": list(vol), "window": list(window),
+        "windows_per_volume": n_win,
+        "volume_latency_ms_p50": round(float(np.percentile(lat, 50)) * 1e3, 2),
+        "volume_latency_ms_p99": round(float(np.percentile(lat, 99)) * 1e3, 2),
     }))
     return 0
 
@@ -277,8 +481,12 @@ def _predict_bench(args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch_size", type=int, default=None,
-                    help="default: 1024 (byol), 128 (seg), 4 (seg3d)")
-    ap.add_argument("--image_size", type=int, default=256)
+                    help="default: 1024 (byol), 128 (seg), 4 (seg3d), "
+                         "256 (predict), 8 windows (predict3d)")
+    ap.add_argument("--image_size", type=int, default=None,
+                    help="default: 256 stored (byol), 224 (seg/predict — the "
+                         "reference's canonical seg resolution, "
+                         "train_segmentation.py:35)")
     ap.add_argument("--crop_size", type=int, default=112)
     ap.add_argument("--arch", default="resnet18")
     ap.add_argument("--steps", type=int, default=30)
@@ -302,15 +510,27 @@ def main():
                     help="checkpoint residual blocks (fit bigger archs/batches)")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of the timed steps to DIR")
-    ap.add_argument("--task", default="byol", choices=["byol", "seg", "seg3d", "predict"],
+    ap.add_argument("--task", default="byol",
+                    choices=["byol", "seg", "seg3d", "predict", "predict3d"],
                     help="seg: U-Net(arch) segmentation train step with "
-                         "device-side paired augmentation (canonical config: "
-                         "--task seg --batch_size 128 --image_size 224); "
+                         "device-side paired augmentation (canonical config "
+                         "= the defaults: batch 128 @ 224²); "
                          "seg3d: volumetric 3D U-Net train step (--volume_size/"
                          "--crop3d, e.g. --task seg3d --batch_size 4); "
                          "predict: serving-path U-Net inference (img/s/chip + "
-                         "per-batch latency percentiles); "
+                         "per-batch latency percentiles; --exported also times "
+                         "the .misx artifact path); "
+                         "predict3d: whole-volume sliding-window serving "
+                         "(vol/s + per-volume latency); "
                          "device-resident batches only")
+    ap.add_argument("--exported", action="store_true",
+                    help="predict: additionally export a .misx-equivalent "
+                         "artifact (jax.export) and time its bucket function")
+    ap.add_argument("--hbm_check", action="store_true",
+                    help="seg/seg3d/predict: AOT-compile the step, print "
+                         "projected peak HBM vs device capacity, and exit "
+                         "WITHOUT running (exit 2 if oversubscribed) — "
+                         "predicts the seg3d spill cliff in one compile")
     ap.add_argument("--volume_size", type=int, nargs=3, default=(64, 96, 96),
                     metavar=("D", "H", "W"), help="seg3d: stored volume shape")
     ap.add_argument("--crop3d", type=int, nargs=3, default=(32, 64, 64),
@@ -322,7 +542,15 @@ def main():
                          "study in BASELINE.md")
     args = ap.parse_args()
     if args.batch_size is None:
-        args.batch_size = {"byol": 1024, "seg": 128, "seg3d": 4, "predict": 256}[args.task]
+        args.batch_size = {"byol": 1024, "seg": 128, "seg3d": 4,
+                           "predict": 256, "predict3d": 8}[args.task]
+    if args.image_size is None:
+        # byol stores 256² (north-star shape); seg/predict run the reference's
+        # canonical 224² (train_segmentation.py:35) — the round-3 "30%
+        # regression" was this bench defaulting to 256² for seg (a (256/224)²
+        # = 1.31x FLOP mismatch), not a code regression; see BASELINE.md
+        args.image_size = {"byol": 256, "seg": 224, "seg3d": 256,
+                           "predict": 224, "predict3d": 256}[args.task]
 
     # Fail FAST if the remote-TPU tunnel is down: the axon plugin's first
     # jax.devices() call otherwise blocks indefinitely (shared guard with
@@ -340,6 +568,10 @@ def main():
         return _seg3d_bench(args)
     if args.task == "predict":
         return _predict_bench(args)
+    if args.task == "predict3d":
+        return _predict3d_bench(args)
+    if args.hbm_check:
+        raise SystemExit("--hbm_check supports tasks seg/seg3d/predict")
 
     from medical_image_segmentation_tpu.ops.augment import BYOL_VIEW1, BYOL_VIEW2
     from medical_image_segmentation_tpu.ops.pallas_augment import pallas_two_view_augment
