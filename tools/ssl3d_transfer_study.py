@@ -41,6 +41,8 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     ap.add_argument("--unlabeled", type=int, default=512)
     ap.add_argument("--hw", type=int, default=96)
     ap.add_argument("--depth", type=int, default=64)
+    ap.add_argument("--crop", type=int, nargs=3, default=(32, 64, 64), metavar=("D", "H", "W"),
+                    help="train crop passed to both trainers (must fit inside the volume)")
     ap.add_argument("--features", type=int, nargs="+", default=(32, 64, 128, 256),
                     help="3D encoder widths; last = pooled embedding dim "
                          "(round-3 negative used 8/16/32 -> 32-d)")
@@ -63,9 +65,12 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
 def _run(cmd: List[str], log: str, timeout: int) -> None:
     print(f"[study] $ {' '.join(cmd)} > {log}", file=sys.stderr)
     with open(log, "w") as f:
+        # Prepend (not replace) so site hooks on PYTHONPATH — e.g. the TPU
+        # backend plugin registration — survive into the trainer subprocesses.
+        pp = os.environ.get("PYTHONPATH", "")
+        env = {**os.environ, "PYTHONPATH": REPO + (os.pathsep + pp if pp else "")}
         rc = subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT,
-                            timeout=timeout, cwd=REPO,
-                            env={**os.environ, "PYTHONPATH": REPO}).returncode
+                            timeout=timeout, cwd=REPO, env=env).returncode
     if rc != 0:
         tail = open(log).read()[-2000:]
         raise SystemExit(f"[study] FAILED rc={rc}: {' '.join(cmd)}\n{tail}")
@@ -112,7 +117,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     os.makedirs(ws, exist_ok=True)
     st = Stages(ws)
     py = sys.executable
-    vol = ["--volume_size", str(args.depth), str(args.hw), str(args.hw)]
+    vol = ["--volume_size", str(args.depth), str(args.hw), str(args.hw),
+           "--crop_size", *(str(c) for c in args.crop)]
     data_dir = os.path.join(ws, "data")
     img_dir, lbl_dir = os.path.join(data_dir, "imagesTr"), os.path.join(data_dir, "labelsTr")
     unl_dir = os.path.join(data_dir, "unlabeledTr")
@@ -168,6 +174,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         return _final_metric(log_dir, ["test/dice", "test/iou", "val/dice"])
 
     report: Dict[str, object] = {"config": vars(args).copy()}
+    out = os.path.join(ws, "ssl3d_study.json")
+
+    def dump() -> None:
+        json.dump(report, open(out, "w"), indent=2)
 
     # --- sweep: score each (lr, tau) by a short low-label fine-tune ---
     sel_split = os.path.join(splits, f"split_{args.select_fraction}_percent_train.json")
@@ -180,10 +190,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         loss = _final_metric(os.path.join(ws, f"logs_ssl_{tag}"), ["loss"])
         sweep_rows.append({"lr": lr, "tau": tau, "ckpt": ck,
                            "byol_loss": loss.get("loss"), **m})
+        report["sweep"] = sweep_rows
+        dump()
         print(f"[study] sweep {tag}: {m}", file=sys.stderr)
-    report["sweep"] = sweep_rows
     best = max(sweep_rows, key=lambda r: r.get("test/dice", -1.0))
     report["best"] = {"lr": best["lr"], "tau": best["tau"]}
+    dump()
     print(f"[study] sweep winner: lr={best['lr']} tau={best['tau']} "
           f"(10%-label dice {best.get('test/dice')})", file=sys.stderr)
 
@@ -199,11 +211,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                 tag = f"{init}_{frac}pct_s{seed}"
                 m = finetune(tag, split_file, args.finetune_epochs, seed, ck)
                 rows.append({"init": init, "label_fraction": frac, "seed": seed, **m})
+                report["grid"] = rows
+                dump()
                 print(f"[study] grid {tag}: {m}", file=sys.stderr)
-    report["grid"] = rows
-
-    out = os.path.join(ws, "ssl3d_study.json")
-    json.dump(report, open(out, "w"), indent=2)
 
     # markdown summary: mean over seeds per (init, fraction)
     agg: Dict[tuple, List[float]] = {}
