@@ -69,6 +69,11 @@ def _run(cmd: List[str], log: str, timeout: int) -> None:
         # backend plugin registration — survive into the trainer subprocesses.
         pp = os.environ.get("PYTHONPATH", "")
         env = {**os.environ, "PYTHONPATH": REPO + (os.pathsep + pp if pp else "")}
+        # Share one persistent XLA compilation cache across the study's many
+        # trainer subprocesses: only shape-distinct runs pay a fresh compile.
+        env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       os.path.join(os.path.dirname(log), ".jax_cache"))
+        env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
         rc = subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT,
                             timeout=timeout, cwd=REPO, env=env).returncode
     if rc != 0:
