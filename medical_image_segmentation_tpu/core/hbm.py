@@ -145,6 +145,30 @@ def format_hbm_report(mem: Dict[str, Any], label: str = "step") -> str:
     )
 
 
+def guard_step(
+    jitted_step,
+    example_args,
+    label: str = "train step",
+    skip: bool = False,
+    force: bool = False,
+) -> Optional[Dict[str, Any]]:
+    """One-call trainer guard: AOT-compile ``jitted_step`` at the given arg
+    specs (``jax.ShapeDtypeStruct`` or concrete values) and refuse if XLA's
+    static memory plan oversubscribes the device (``check_hbm`` semantics).
+
+    No-op (returns None) when ``skip`` is set or when the backend has no
+    known capacity — CPU backends and the virtual test mesh — so tests and
+    CPU dry-runs never pay the compile. All four trainers share this exact
+    sequence; the seg3d spill cliff (284 → 34.9 vol/s, BASELINE.md) and the
+    round-2 resnet152 b1024 OOM are the measured failure modes it predicts.
+    """
+    if skip or device_hbm_capacity() is None:
+        return None
+    mem = hbm_report(jitted_step, *example_args)
+    check_hbm(mem, label=label, force=force)
+    return mem
+
+
 def check_hbm(
     mem: Optional[Dict[str, Any]],
     label: str = "step",

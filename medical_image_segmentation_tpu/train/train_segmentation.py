@@ -75,6 +75,11 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     ap.add_argument("--fp32", dest="bf16", action="store_false")
     ap.add_argument("--remat", action="store_true",
                     help="checkpoint each residual block (less activation memory)")
+    ap.add_argument("--skip_hbm_check", action="store_true",
+                    help="skip the pre-flight projected-HBM guard (core/hbm.py)")
+    ap.add_argument("--force_hbm", action="store_true",
+                    help="run even if the step's projected HBM exceeds device "
+                         "capacity (expect the spill slowdown, BASELINE.md)")
     ap.add_argument("--profile", type=int, default=0, metavar="N",
                     help="trace the first N steps with jax.profiler into <log_dir>/trace "
                          "and print per-stage loader timers each epoch")
@@ -168,6 +173,19 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         x, y = segmentation_augment(key, imgs, msks, out_size=size, mean=mean, std=std,
                                     train=True, dtype=dtype, hu_windows=hu_windows)
         return task.train_step(state, x, y)
+
+    # Pre-flight projected-HBM guard (VERDICT r4 weak #4): refuse a config
+    # whose compiled step oversubscribes the device BEFORE training, with the
+    # fix levers named (--remat / smaller batch). No-op on CPU test meshes.
+    from medical_image_segmentation_tpu.core.hbm import guard_step
+    from medical_image_segmentation_tpu.parallel.mesh import data_sharding
+
+    img_spec = jax.ShapeDtypeStruct(
+        (args.batch_size, args.image_size, args.image_size, 1), jnp.uint8,
+        sharding=data_sharding(mesh, ndim=4))
+    guard_step(train_step, (state, img_spec, img_spec, jax.random.key(0)),
+               label=f"seg train step (arch {args.arch}, batch {args.batch_size})",
+               skip=args.skip_hbm_check, force=args.force_hbm)
 
     @jax.jit
     def eval_step(state, imgs, msks):

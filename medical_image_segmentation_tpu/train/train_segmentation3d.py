@@ -191,17 +191,15 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     # exact batch shapes and refuse if XLA's static memory plan exceeds the
     # device, BEFORE the user pays for a silently crippled run. Skipped on
     # CPU backends (no capacity to check; tests use the virtual CPU mesh).
-    if not args.skip_hbm_check:
-        from medical_image_segmentation_tpu.core.hbm import check_hbm, device_hbm_capacity, hbm_report
-        from medical_image_segmentation_tpu.parallel.mesh import data_sharding
+    from medical_image_segmentation_tpu.core.hbm import guard_step
+    from medical_image_segmentation_tpu.parallel.mesh import data_sharding
 
-        if device_hbm_capacity() is not None:
-            spec = jax.ShapeDtypeStruct(
-                (args.batch_size, *args.volume_size, 1), jnp.float32,
-                sharding=data_sharding(mesh, ndim=5))
-            mem = hbm_report(train_step, state, spec, spec, jax.random.key(0))
-            check_hbm(mem, label=f"seg3d train step (batch {args.batch_size})",
-                      force=args.force_hbm)
+    spec = jax.ShapeDtypeStruct(
+        (args.batch_size, *args.volume_size, 1), jnp.float32,
+        sharding=data_sharding(mesh, ndim=5))
+    guard_step(train_step, (state, spec, spec, jax.random.key(0)),
+               label=f"seg3d train step (batch {args.batch_size})",
+               skip=args.skip_hbm_check, force=args.force_hbm)
 
     @jax.jit
     def eval_step(state, vols, msks):

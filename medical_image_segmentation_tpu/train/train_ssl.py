@@ -88,6 +88,12 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     ap.add_argument("--remat", action="store_true",
                     help="checkpoint each residual block (less activation memory, "
                          "~1/3 more bwd FLOPs) — for resnet101/152 or very large batches")
+    ap.add_argument("--skip_hbm_check", action="store_true",
+                    help="skip the pre-flight projected-HBM guard (core/hbm.py)")
+    ap.add_argument("--force_hbm", action="store_true",
+                    help="run even if the step's projected HBM exceeds device "
+                         "capacity (the round-2 measured failure: resnet152 at "
+                         "batch 1024 OOMs without --remat)")
     ap.add_argument("--model_parallel", type=int, default=1, metavar="N",
                     help="tensor-parallel degree for the MLP heads: devices form a "
                          "(data, model) mesh and the projector/predictor are "
@@ -280,6 +286,29 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         else:
             v1, v2 = two_view_augment(key, imgs, cfg1, cfg2, mean=mean, std=std, dtype=dtype)
         return task.train_step(state, v1, v2, labels)
+
+    # Pre-flight projected-HBM guard (VERDICT r4 weak #4): round 2 measured a
+    # real resnet152 HBM OOM at batch 1024 that --remat fixes — refuse that
+    # run up front with the diagnosis instead of dying mid-epoch. Specs match
+    # what device_put_sharded_batches actually ships: pre-cropped (2B,c,c,C)
+    # views in --host_precrop mode, full stored frames otherwise, in the
+    # store's sample dtype (uint8, or uint16 for FLAG_U16 stores).
+    from medical_image_segmentation_tpu.core.hbm import guard_step
+    from medical_image_segmentation_tpu.parallel.mesh import data_sharding
+
+    img_shape = ((2 * args.batch_size, dm.crop_size, dm.crop_size, train_loader.channels)
+                 if args.host_precrop
+                 else (args.batch_size, *train_loader.out_hw, train_loader.channels))
+    guard_step(
+        train_step,
+        (state,
+         jax.ShapeDtypeStruct(img_shape, jnp.dtype(train_loader.dtype),
+                              sharding=data_sharding(mesh, ndim=4)),
+         jax.ShapeDtypeStruct((args.batch_size,), jnp.int32,
+                              sharding=data_sharding(mesh, ndim=1)),
+         jax.random.key(0)),
+        label=f"ssl train step (arch {args.arch}, batch {args.batch_size})",
+        skip=args.skip_hbm_check, force=args.force_hbm)
 
     logger = CSVMetricsLogger(args.log_dir) if is_main else None
     key = jax.random.fold_in(jax.random.key(args.seed + 1), int(np.asarray(state.step)))

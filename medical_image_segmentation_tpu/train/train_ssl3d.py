@@ -55,6 +55,11 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--fp32", dest="bf16", action="store_false")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--skip_hbm_check", action="store_true",
+                    help="skip the pre-flight projected-HBM guard (core/hbm.py)")
+    ap.add_argument("--force_hbm", action="store_true",
+                    help="run even if the step's projected HBM exceeds device "
+                         "capacity (expect the ~8x spill slowdown, BASELINE.md)")
     ap.add_argument("--cache_volumes", action="store_true",
                     help="keep decoded volumes in host RAM between epochs "
                          "(len(ds)·∏volume_size·4 bytes; NIfTI gunzip+parse "
@@ -127,6 +132,21 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         v1, v2 = byol_two_view_augment_3d(key, vols, out_size=crop, mean=mean, std=std,
                                           dtype=dtype)
         return task.train_step(state, v1, v2)
+
+    # Pre-flight projected-HBM guard (VERDICT r4 weak #4): BYOL's two-tower
+    # EMA state is HEAVIER per sample than the seg3d step the guard was built
+    # for, so the same volumetric spill cliff applies here. AOT-compile at
+    # the exact batch shapes and refuse oversubscription before the user
+    # pays for a silently ~8x-slower run. No-op on CPU test meshes.
+    from medical_image_segmentation_tpu.core.hbm import guard_step
+    from medical_image_segmentation_tpu.parallel.mesh import data_sharding
+
+    vol_spec = jax.ShapeDtypeStruct(
+        (args.batch_size, *args.volume_size, 1), jnp.float32,
+        sharding=data_sharding(mesh, ndim=5))
+    guard_step(train_step, (state, vol_spec, jax.random.key(0)),
+               label=f"ssl3d train step (batch {args.batch_size})",
+               skip=args.skip_hbm_check, force=args.force_hbm)
 
     logger = CSVMetricsLogger(args.log_dir) if is_main else None
     key = jax.random.fold_in(jax.random.key(args.seed + 1), int(np.asarray(state.step)))

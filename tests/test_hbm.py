@@ -121,6 +121,67 @@ class TestCheckSemantics:
         assert "x step" in s and "2.00 GiB" in s and "16.00 GiB" in s
 
 
+class TestGuardStep:
+    """`guard_step` — the one-call wrapper all four trainers now share
+    (train_ssl, train_segmentation, train_ssl3d, train_segmentation3d)."""
+
+    def _step(self):
+        @jax.jit
+        def f(x):
+            return (x * 2.0).sum()
+
+        return f, (jnp.zeros((64, 64), jnp.float32),)
+
+    def test_skip_short_circuits_without_compiling(self, monkeypatch):
+        f, args = self._step()
+
+        def boom(*a, **k):
+            raise AssertionError("guard compiled despite skip=True")
+
+        monkeypatch.setattr(hbm, "hbm_report", boom)
+        assert hbm.guard_step(f, args, skip=True) is None
+
+    def test_noop_when_capacity_unknown(self):
+        # CPU test mesh: capacity is None -> no compile, no refusal
+        f, args = self._step()
+        assert hbm.guard_step(f, args) is None
+
+    def test_refuses_and_forces_under_fake_capacity(self, monkeypatch):
+        f, args = self._step()
+        monkeypatch.setattr(hbm, "device_hbm_capacity", lambda: 1024)
+        with pytest.raises(SystemExit, match="REFUSING"):
+            hbm.guard_step(f, args, label="tiny step")
+        mem = hbm.guard_step(f, args, label="tiny step", force=True)
+        assert mem is not None and mem["oversubscribed"] is True
+
+    def test_accepts_shape_dtype_specs(self, monkeypatch):
+        # trainers pass ShapeDtypeStructs, not concrete arrays
+        monkeypatch.setattr(hbm, "device_hbm_capacity", lambda: 1 << 40)
+        f, _ = self._step()
+        spec = jax.ShapeDtypeStruct((64, 64), jnp.float32)
+        mem = hbm.guard_step(f, (spec,), label="spec step")
+        assert mem is not None and mem["oversubscribed"] is False
+
+
+class TestTrainerGuardWiring:
+    """Every trainer CLI must expose the guard's flags — the r4 gap was the
+    guard protecting only one of four entry points."""
+
+    @pytest.mark.parametrize("mod", [
+        "medical_image_segmentation_tpu.train.train_ssl",
+        "medical_image_segmentation_tpu.train.train_segmentation",
+        "medical_image_segmentation_tpu.train.train_ssl3d",
+        "medical_image_segmentation_tpu.train.train_segmentation3d",
+    ])
+    def test_flags_exposed(self, mod):
+        import importlib
+
+        m = importlib.import_module(mod)
+        src = open(m.__file__).read()
+        assert "--skip_hbm_check" in src and "--force_hbm" in src
+        assert "guard_step" in src
+
+
 class TestSeg3dGuardIntegration:
     def test_guard_predicts_oversubscription_on_virtual_mesh(self, monkeypatch):
         """End-to-end shape of the trainer guard: AOT-compile the real seg3d
