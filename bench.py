@@ -122,6 +122,36 @@ def _hbm_check_exit(step, args_tuple, task: str, extra: dict | None = None) -> i
     return 2 if mem.get("oversubscribed") else 0
 
 
+def _dispersion_fields(probe_lat, loop_ms_mean: float, label: str) -> dict:
+    """Contention tripwire (VERDICT r4 weak #1): per-step latency percentiles
+    from a short FENCED probe run after the throughput loop, compared against
+    the loop's unfenced mean. A contended chip (another process holding the
+    TPU — the r04 regression: 100.9 ms/step vs r03's stable 77.6) shows up as
+    p99/p50 dispersion inside the probe and/or a loop mean far above the
+    probe's p50. Prints a LOUD warning so a dirty capture can't pass silently;
+    the fields land in the JSON line either way."""
+    lat = np.asarray(probe_lat, dtype=np.float64) * 1e3  # ms
+    p50 = float(np.percentile(lat, 50))
+    p99 = float(np.percentile(lat, 99))
+    fields = {"step_ms_p50": round(p50, 2), "step_ms_p99": round(p99, 2),
+              "step_ms_loop_mean": round(loop_ms_mean, 2)}
+    contended = []
+    if p50 > 0 and p99 / p50 > 1.4:
+        contended.append(f"probe p99/p50 = {p99 / p50:.2f} (> 1.4)")
+    # the fenced probe pays one host round-trip per step, so its p50 sits
+    # slightly ABOVE the pipelined loop mean on a quiet chip; the loop mean
+    # exceeding the fenced p50 by >20% means something else ran DURING the loop
+    if p50 > 0 and loop_ms_mean > 1.2 * p50:
+        contended.append(
+            f"loop mean {loop_ms_mean:.1f} ms vs fenced p50 {p50:.1f} ms")
+    if contended:
+        fields["contention_suspected"] = True
+        print(f"WARNING: {label} step-latency dispersion suggests a CONTENDED "
+              f"chip ({'; '.join(contended)}) — another process may hold the "
+              "TPU; this measurement is NOT a clean capture", file=sys.stderr)
+    return fields
+
+
 def _make_auto_store(path: str, n: int, size: int, codec_name: str) -> None:
     from medical_image_segmentation_tpu.data.store import CODEC_JPEG, CODEC_RAW, StoreWriter
 
@@ -188,6 +218,13 @@ def _seg_bench(args):
     dt = time.perf_counter() - t0
     imgs_per_sec = args.batch_size * args.steps / dt
     per_chip = imgs_per_sec / n_chips
+    probe_lat = []
+    for i in range(min(args.steps, 12)):
+        t0 = time.perf_counter()
+        state, metrics = step(state, imgs, msks, jax.random.fold_in(key, 500 + i))
+        float(metrics["train/loss"])
+        probe_lat.append(time.perf_counter() - t0)
+    disp = _dispersion_fields(probe_lat, dt / args.steps * 1e3, "seg")
     flops, mem = _step_cost(step, state, imgs, msks, key)
     peak = _peak_flops_per_chip()
     mfu = round(flops * args.steps / dt / (peak * n_chips), 4) if flops and peak else None
@@ -200,6 +237,7 @@ def _seg_bench(args):
         "vs_baseline": round(per_chip / 5000.0, 3),
         "task": "seg", "mfu": mfu,
         "image_size": args.image_size,
+        **disp,
         **_hbm_json_fields(mem),
     }))
     return 0
@@ -259,6 +297,13 @@ def _seg3d_bench(args):
     dt = time.perf_counter() - t0
     vols_per_sec = args.batch_size * args.steps / dt
     per_chip = vols_per_sec / n_chips
+    probe_lat = []
+    for i in range(min(args.steps, 12)):
+        t0 = time.perf_counter()
+        state, metrics = step(state, vols, msks, jax.random.fold_in(key, 500 + i))
+        float(metrics["train/loss"])
+        probe_lat.append(time.perf_counter() - t0)
+    disp = _dispersion_fields(probe_lat, dt / args.steps * 1e3, "seg3d")
     flops, mem = _step_cost(step, state, vols, msks, key)
     peak = _peak_flops_per_chip()
     mfu = round(flops * args.steps / dt / (peak * n_chips), 4) if flops and peak else None
@@ -275,6 +320,7 @@ def _seg3d_bench(args):
         "unit": "volumes/sec/chip",
         "vs_baseline": round(per_chip * crop[0] / 5000.0, 3),
         "task": "seg3d", "mfu": mfu, "features": list(args.features3d),
+        **disp,
         **_hbm_json_fields(mem),
     }))
     return 0
@@ -692,6 +738,15 @@ def main():
 
     imgs_per_sec = args.batch_size * args.steps / dt
     per_chip = imgs_per_sec / n_chips
+    # fenced per-step dispersion probe (contention tripwire) — after the
+    # throughput loop, before the dispatch-perturbing AOT cost analysis
+    probe_lat = []
+    for i in range(min(args.steps, 12)):
+        t0 = time.perf_counter()
+        state, metrics = step(state, next_batch(), jax.random.fold_in(key, 500 + i))
+        float(metrics["loss"])
+        probe_lat.append(time.perf_counter() - t0)
+    disp = _dispersion_fields(probe_lat, dt / args.steps * 1e3, "byol")
     # cost analysis AFTER timing: the AOT lower().compile() disturbs the
     # subsequent jit dispatch path on the axon remote platform (measured
     # 78 ms/step → 1.7 s/step when done up front)
@@ -713,6 +768,7 @@ def main():
         "vs_baseline": round(per_chip / 5000.0, 3),
         "mode": mode,
         "mfu": mfu,
+        **disp,
     }
     if mode == "store":
         # bytes the loader actually ships per image: 2 crop² views in
