@@ -11,6 +11,9 @@ sequence end-to-end
     -> slice Decathlon -> splits -> fine-tune (scratch AND SSL-init, per
     label fraction) -> Dice comparison table
 
+at the reference's CANONICAL pretrain config — batch 2048, 200 epochs,
+resnet18 at 112² crops, its own launch script
+(``scripts/train/train_ssl_pl_test:5-8``), not its argparse defaults —
 and emits ``parity_report.json`` + a markdown table comparing
 
 * measured dataset statistics vs. the reference's published constants
@@ -43,10 +46,20 @@ from typing import Dict, List, Optional, Sequence
 REFERENCE = {
     "train_mean": 57.9764,
     "train_std": 60.4759,
+    # The reference's "val" loader reads the NIH chest-x-ray TEST beton
+    # (lightning_module.py:199-200) — a DIFFERENT corpus from the 1M train
+    # subset, used by its KNN callback; 126.57/63.46 (:239-240) are that
+    # corpus's stats. Measured here when --val_png_dir points at it.
     "val_mean": 126.57,
     "val_std": 63.46,
-    "ssl_config": {"batch_size": 256, "base_lr": 1.0, "warmup_epochs": 10,
-                   "max_epochs": 100, "arch": "resnet18"},
+    # Canonical pretrain = the reference's own launch script
+    # (scripts/train/train_ssl_pl_test:5-8: batch 2048, 200 epochs,
+    # resnet18) at the datamodule's fixed 112² crop
+    # (lightning_module.py:203) — NOT train_ssl.py's argparse defaults.
+    "ssl_config": {"batch_size": 2048, "base_lr": 1.0, "warmup_epochs": 10,
+                   "max_epochs": 200, "arch": "resnet18", "crop_size": 112},
+    # Fine-tune = train_segmentation.py defaults (:17-35); the reference
+    # ships no launch script for it.
     "seg_config": {"batch_size": 512, "base_lr": 1.0, "warmup_epochs": 10,
                    "max_epochs": 50, "arch": "resnet18"},
 }
@@ -68,10 +81,18 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     ap.add_argument("--subset_size", type=int, default=1_000_000,
                     help="curated-subset target (reference: 1M, "
                          "scripts/create_image_subset:18-19)")
+    ap.add_argument("--val_png_dir", default=None,
+                    help="curated PNG tree of the reference's KNN-val corpus "
+                         "(NIH chest-x-ray test set, lightning_module.py:200); "
+                         "builds a val store, measures its stats vs the "
+                         "126.57/63.46 constants, and feeds the pretrain's "
+                         "KNN callback")
     ap.add_argument("--image_size", type=int, default=224)
     ap.add_argument("--arch", default="resnet18")
-    ap.add_argument("--ssl_epochs", type=int, default=100)
-    ap.add_argument("--ssl_batch_size", type=int, default=256)
+    ap.add_argument("--ssl_epochs", type=int, default=200,
+                    help="canonical: 200 (scripts/train/train_ssl_pl_test:7)")
+    ap.add_argument("--ssl_batch_size", type=int, default=2048,
+                    help="canonical: 2048 (scripts/train/train_ssl_pl_test:6)")
     ap.add_argument("--seg_epochs", type=int, default=50)
     ap.add_argument("--seg_batch_size", type=int, default=512)
     ap.add_argument("--fractions", default="10,25,50,100",
@@ -203,11 +224,41 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         "reference_mean": REFERENCE["train_mean"], "reference_std": REFERENCE["train_std"],
     }
 
+    # --- 4b. val corpus: build + measure vs the 126.57/63.46 constants.
+    # The reference's val loader is the NIH chest-x-ray TEST set
+    # (lightning_module.py:199-200) — a separate corpus, so it can only be
+    # measured when the user mounts it; without it the report says
+    # "not measured" instead of silently citing the constants as if checked.
+    val_store = None
+    if args.val_png_dir:
+        val_store = os.path.join(ws, "nih_chest_xray_test.mis")
+        val_stats_json = os.path.join(ws, "val_stats.json")
+        stages.run("val_store", lambda: _check(create_store.main(
+            ["--png_dir", args.val_png_dir, "--output", val_store,
+             "--max_resolution", str(args.image_size),
+             "--num_workers", str(nproc)]), "create_store (val)"))
+        stages.run("val_stats", lambda: _check(compute_stats.main(
+            ["--store", val_store, "--center_crop", str(args.image_size),
+             "--output", val_stats_json]), "compute_stats (val)"))
+        vstats = json.load(open(val_stats_json))
+        report["dataset_stats"].update({
+            "val_measured_mean": _scalar(vstats.get("mean")),
+            "val_measured_std": _scalar(vstats.get("std")),
+        })
+    report["dataset_stats"].update({
+        "val_reference_mean": REFERENCE["val_mean"],
+        "val_reference_std": REFERENCE["val_std"],
+        "val_measured": bool(val_store),
+    })
+
     # --- 5. BYOL pretrain (canonical SSL config, scaled by flags) ---
     from medical_image_segmentation_tpu.train import train_segmentation, train_ssl
 
     os.environ["RADIOLOGY_1M_TRAIN_STORE"] = store
-    os.environ.setdefault("RADIOLOGY_1M_VAL_STORE", os.path.join(ws, "no_val.mis"))
+    if val_store:
+        os.environ["RADIOLOGY_1M_VAL_STORE"] = val_store
+    else:
+        os.environ.setdefault("RADIOLOGY_1M_VAL_STORE", os.path.join(ws, "no_val.mis"))
     ssl_ckpt_dir = os.path.join(ws, "ckpt_ssl")
     ssl_cmd = ["--dataset", "RADIOLOGY_1M", "--arch", args.arch,
                "--batch_size", str(args.ssl_batch_size),
@@ -286,6 +337,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         "|---|---|---|",
         f"| dataset mean | {ds['measured_mean']} | {ds['reference_mean']} (lightning_module.py:212) |",
         f"| dataset std | {ds['measured_std']} | {ds['reference_std']} (lightning_module.py:213) |",
+        f"| val (NIH test) mean | {ds.get('val_measured_mean', 'not measured — pass --val_png_dir')} "
+        f"| {ds['val_reference_mean']} (lightning_module.py:239) |",
+        f"| val (NIH test) std | {ds.get('val_measured_std', 'not measured — pass --val_png_dir')} "
+        f"| {ds['val_reference_std']} (lightning_module.py:240) |",
         "",
         "| Init | Labels | test Dice | test IoU |",
         "|---|---|---|---|",
