@@ -62,6 +62,9 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     return ap.parse_args(argv)
 
 
+_CACHE_DIR = ""  # set by main() from --workdir: ONE cache for the whole study
+
+
 def _run(cmd: List[str], log: str, timeout: int) -> None:
     print(f"[study] $ {' '.join(cmd)} > {log}", file=sys.stderr)
     with open(log, "w") as f:
@@ -71,8 +74,10 @@ def _run(cmd: List[str], log: str, timeout: int) -> None:
         env = {**os.environ, "PYTHONPATH": REPO + (os.pathsep + pp if pp else "")}
         # Share one persistent XLA compilation cache across the study's many
         # trainer subprocesses: only shape-distinct runs pay a fresh compile.
+        # Anchored at the WORKDIR (not the log's directory) so logs moving
+        # into subdirectories can never silently split the cache.
         env.setdefault("JAX_COMPILATION_CACHE_DIR",
-                       os.path.join(os.path.dirname(log), ".jax_cache"))
+                       _CACHE_DIR or os.path.join(os.path.dirname(log), ".jax_cache"))
         env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
         rc = subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT,
                             timeout=timeout, cwd=REPO, env=env).returncode
@@ -120,6 +125,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     args = parse_args(argv)
     ws = os.path.abspath(args.workdir)
     os.makedirs(ws, exist_ok=True)
+    global _CACHE_DIR
+    _CACHE_DIR = os.path.join(ws, ".jax_cache")
     st = Stages(ws)
     py = sys.executable
     vol = ["--volume_size", str(args.depth), str(args.hw), str(args.hw),
@@ -146,8 +153,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     def pretrain(tag: str, lr: float, tau: float, epochs: int) -> str:
         ck = os.path.join(ws, f"ckpt_ssl_{tag}")
         if not st.done(f"pretrain_{tag}"):
+            # --resume: a VM restart mid-pretrain must not discard epochs
+            # already paid for — the trainer no-ops it when the checkpoint
+            # dir is empty, so fresh runs are unaffected.
             _run([py, "-m", "medical_image_segmentation_tpu.train.train_ssl3d",
-                  "--images_dir", unl_dir, *vol,
+                  "--images_dir", unl_dir, *vol, "--resume",
                   "--batch_size", str(args.batch_size),
                   "--max_epochs", str(epochs),
                   "--learning_rate", str(lr), "--ema_momentum", str(tau),
