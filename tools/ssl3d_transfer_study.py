@@ -65,25 +65,73 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
 _CACHE_DIR = ""  # set by main() from --workdir: ONE cache for the whole study
 
 
+_STALL_S = 420       # no-log-growth kill threshold (epochs log every ~30-60 s)
+_RETRY_BACKOFF = (180, 900)  # seconds to wait before each retry
+
+
 def _run(cmd: List[str], log: str, timeout: int) -> None:
-    print(f"[study] $ {' '.join(cmd)} > {log}", file=sys.stderr)
-    with open(log, "w") as f:
-        # Prepend (not replace) so site hooks on PYTHONPATH — e.g. the TPU
-        # backend plugin registration — survive into the trainer subprocesses.
-        pp = os.environ.get("PYTHONPATH", "")
-        env = {**os.environ, "PYTHONPATH": REPO + (os.pathsep + pp if pp else "")}
-        # Share one persistent XLA compilation cache across the study's many
-        # trainer subprocesses: only shape-distinct runs pay a fresh compile.
-        # Anchored at the WORKDIR (not the log's directory) so logs moving
-        # into subdirectories can never silently split the cache.
-        env.setdefault("JAX_COMPILATION_CACHE_DIR",
-                       _CACHE_DIR or os.path.join(os.path.dirname(log), ".jax_cache"))
-        env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-        rc = subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT,
-                            timeout=timeout, cwd=REPO, env=env).returncode
-    if rc != 0:
-        tail = open(log).read()[-2000:]
-        raise SystemExit(f"[study] FAILED rc={rc}: {' '.join(cmd)}\n{tail}")
+    """Run one trainer subprocess with a hard timeout, a LOG-STALL watchdog,
+    and resume-aware retries.
+
+    The watchdog exists because the remote TPU has been observed to hang
+    mid-step after ~1 h of sustained training; a trainer on a hung device
+    never exits on its own — it keeps enqueueing host batches until the
+    OOM-killer takes the whole VM (observed twice: 130 GB and 101 GB RSS).
+    Killing on "log hasn't grown for _STALL_S" bounds the damage to minutes,
+    and because pretrains pass --resume (and fine-tunes are short), a retry
+    after a cool-down loses at most the epochs since the last checkpoint.
+    """
+    # Prepend (not replace) so site hooks on PYTHONPATH — e.g. the TPU
+    # backend plugin registration — survive into the trainer subprocesses.
+    pp = os.environ.get("PYTHONPATH", "")
+    env = {**os.environ, "PYTHONPATH": REPO + (os.pathsep + pp if pp else "")}
+    # Share one persistent XLA compilation cache across the study's many
+    # trainer subprocesses: only shape-distinct runs pay a fresh compile.
+    # Anchored at the WORKDIR (not the log's directory) so logs moving
+    # into subdirectories can never silently split the cache.
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   _CACHE_DIR or os.path.join(os.path.dirname(log), ".jax_cache"))
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+    for attempt in range(len(_RETRY_BACKOFF) + 1):
+        print(f"[study] $ {' '.join(cmd)} > {log}"
+              + (f" (attempt {attempt + 1})" if attempt else ""), file=sys.stderr)
+        with open(log, "w" if attempt == 0 else "a") as f:
+            p = subprocess.Popen(cmd, stdout=f, stderr=subprocess.STDOUT,
+                                 cwd=REPO, env=env)
+            t0 = last_change = time.time()
+            last_sz = -1
+            while True:
+                try:
+                    rc = p.wait(timeout=15)
+                    break
+                except subprocess.TimeoutExpired:
+                    pass
+                now = time.time()
+                try:
+                    sz = os.path.getsize(log)
+                except OSError:
+                    sz = 0
+                if sz != last_sz:
+                    last_sz, last_change = sz, now
+                if now - t0 > timeout or now - last_change > _STALL_S:
+                    why = ("timeout" if now - t0 > timeout else
+                           f"no log growth for {int(now - last_change)}s "
+                           "(hung device?)")
+                    print(f"[study] KILLING run: {why}", file=sys.stderr)
+                    p.kill()
+                    p.wait()
+                    rc = -9
+                    break
+        if rc == 0:
+            return
+        if attempt < len(_RETRY_BACKOFF):
+            wait = _RETRY_BACKOFF[attempt]
+            print(f"[study] rc={rc}; waiting {wait}s for the device to clear, "
+                  f"then retrying", file=sys.stderr)
+            time.sleep(wait)
+    tail = open(log).read()[-2000:]
+    raise SystemExit(f"[study] FAILED rc={rc}: {' '.join(cmd)}\n{tail}")
 
 
 def _final_metric(log_dir: str, names: Sequence[str]) -> Dict[str, float]:
