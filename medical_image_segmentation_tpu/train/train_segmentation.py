@@ -118,6 +118,13 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     per_host = args.batch_size // nproc
     train_loader = dm.loader("train", per_host, seed=args.seed, shard=(proc, nproc),
                              num_threads=args.num_workers)
+    if len(train_loader) == 0:
+        # drop_last batching: batch > dataset yields 0 steps/epoch — the run
+        # would silently train nothing (see train_segmentation3d.py).
+        raise SystemExit(
+            f"--batch_size {args.batch_size} (per host {per_host}) exceeds "
+            "the train split: every epoch would run 0 steps. Lower "
+            "--batch_size to at most the train-set size.")
     steps_per_epoch = max(len(train_loader), 1)
     if args.limit_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, args.limit_steps_per_epoch)

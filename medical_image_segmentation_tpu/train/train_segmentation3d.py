@@ -127,6 +127,14 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     per_host = args.batch_size // nproc
     train_loader = VolumeLoader(ds_train, per_host, shuffle=True, seed=args.seed,
                                 num_hosts=nproc, host_id=proc)
+    if len(train_loader) == 0:
+        # drop_last batching: a batch larger than the (sharded) train set
+        # yields ZERO steps/epoch — training would silently no-op while val
+        # metrics stay frozen at the init's scores.
+        raise SystemExit(
+            f"--batch_size {args.batch_size} (per host {per_host}) exceeds the "
+            f"train split ({len(ds_train)} volumes): every epoch would run 0 "
+            "steps. Lower --batch_size to at most the train-set size.")
     steps_per_epoch = max(len(train_loader), 1)
     if args.limit_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, args.limit_steps_per_epoch)

@@ -185,6 +185,13 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                                    seed=args.seed, shard=(proc, nproc), distributed=nproc > 1,
                                    precrop=precrop)
     steps_per_epoch = len(train_loader)
+    if steps_per_epoch == 0:
+        # drop_last batching: batch > dataset yields 0 steps/epoch — the run
+        # would silently train nothing (see train_segmentation3d.py).
+        raise SystemExit(
+            f"--batch_size {args.batch_size} (per host {per_host_batch}) "
+            "exceeds the train set: every epoch would run 0 steps. Lower "
+            "--batch_size to at most the dataset size.")
     if args.limit_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, args.limit_steps_per_epoch)
     total_steps = steps_per_epoch * args.max_epochs

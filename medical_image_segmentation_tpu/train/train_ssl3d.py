@@ -94,6 +94,13 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     per_host = args.batch_size // nproc
     loader = VolumeLoader(ds, per_host, shuffle=True, seed=args.seed,
                           num_hosts=nproc, host_id=proc)
+    if len(loader) == 0:
+        # drop_last batching: batch > dataset yields 0 steps/epoch — the run
+        # would silently train nothing (see train_segmentation3d.py).
+        raise SystemExit(
+            f"--batch_size {args.batch_size} (per host {per_host}) exceeds the "
+            f"unlabeled set ({len(ds)} volumes): every epoch would run 0 "
+            "steps. Lower --batch_size to at most the dataset size.")
     steps_per_epoch = max(len(loader), 1)
     if args.limit_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, args.limit_steps_per_epoch)

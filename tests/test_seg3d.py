@@ -451,3 +451,51 @@ class TestMultiWindow3D:
         state = task.init(jax.random.key(0), (1, 8, 16, 16, 2))
         state, m = task.train_step(state, x, y)
         assert np.isfinite(float(m["train/loss"]))
+
+
+class TestZeroStepRefusal:
+    """Drop-last batching at batch > train-set size yields 0 steps/epoch;
+    the trainers must refuse instead of silently training nothing (the
+    failure mode: val metrics frozen at the init's scores for every epoch,
+    final checkpoint at step 0)."""
+
+    def _volumes(self, tmp_path, n):
+        from medical_image_segmentation_tpu.data.nifti import write_nifti
+
+        rng = np.random.default_rng(0)
+        img_d, msk_d = tmp_path / "imagesTr", tmp_path / "labelsTr"
+        img_d.mkdir(exist_ok=True); msk_d.mkdir(exist_ok=True)
+        for v in range(n):
+            seg = np.zeros((16, 16, 8), np.uint8)
+            seg[4:12, 4:12, 2:6] = 1
+            vol = (seg * 120.0 + rng.normal(40, 15, seg.shape)).astype(np.float32)
+            write_nifti(str(img_d / f"la_{v:03d}.nii.gz"), vol)
+            write_nifti(str(msk_d / f"la_{v:03d}.nii.gz"), seg)
+        return img_d, msk_d
+
+    def test_seg3d_refuses_batch_larger_than_train_set(self, tmp_path):
+        from medical_image_segmentation_tpu.train import train_segmentation3d
+
+        img_d, msk_d = self._volumes(tmp_path, 2)
+        with pytest.raises(SystemExit, match="0[ \n]+steps"):
+            train_segmentation3d.main([
+                "--images_dir", str(img_d), "--masks_dir", str(msk_d),
+                "--volume_size", "8", "16", "16", "--crop_size", "8", "16", "16",
+                "--batch_size", "8", "--max_epochs", "1", "--features", "4", "8",
+                "--fp32", "--log_dir", str(tmp_path / "logs"),
+                "--checkpoint_dir", str(tmp_path / "ckpt"),
+            ])
+
+    def test_ssl3d_refuses_batch_larger_than_dataset(self, tmp_path):
+        from medical_image_segmentation_tpu.train import train_ssl3d
+
+        img_d, _ = self._volumes(tmp_path, 2)
+        with pytest.raises(SystemExit, match="0[ \n]+steps"):
+            train_ssl3d.main([
+                "--images_dir", str(img_d),
+                "--volume_size", "8", "16", "16", "--crop_size", "8", "8", "8",
+                "--batch_size", "8", "--max_epochs", "1", "--features", "4", "8",
+                "--hidden_dim", "16", "--projection_dim", "8", "--fp32",
+                "--log_dir", str(tmp_path / "logs"),
+                "--checkpoint_dir", str(tmp_path / "ckpt"),
+            ])

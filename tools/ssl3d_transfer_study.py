@@ -220,11 +220,18 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     def finetune(tag: str, split_file: str, epochs: int, seed: int,
                  ssl_ckpt: Optional[str]) -> Dict[str, float]:
         log_dir = os.path.join(ws, f"logs_seg_{tag}")
+        # Clamp the batch to the split's train-set size: drop-last batching
+        # at batch > n_train runs ZERO steps/epoch — the trainer now refuses
+        # that outright, and an early version of this study silently scored
+        # untrained models on the 10% split (6 volumes < batch 8) because of
+        # it. The clamp keeps small-fraction runs meaningful.
+        n_train = len(json.load(open(split_file))["train"])
+        batch = max(1, min(args.finetune_batch, n_train))
         if not st.done(f"seg_{tag}"):
             cmd = [py, "-m", "medical_image_segmentation_tpu.train.train_segmentation3d",
                    "--images_dir", img_dir, "--masks_dir", lbl_dir,
                    "--split_file", split_file, *vol,
-                   "--batch_size", str(args.finetune_batch),
+                   "--batch_size", str(batch),
                    "--max_epochs", str(epochs), "--seed", str(seed),
                    "--features", *feats, "--cache_volumes",
                    "--checkpoint_every_epochs", "0",
@@ -262,8 +269,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     print(f"[study] sweep winner: lr={best['lr']} tau={best['tau']} "
           f"(10%-label dice {best.get('test/dice')})", file=sys.stderr)
 
-    # --- final long pretrain at the winner ---
-    final_ck = pretrain("final", best["lr"], best["tau"], args.final_epochs)
+    # --- final long pretrain at the winner; the checkpoint dir carries the
+    # winner's tag so a re-scored sweep that changes the winner can never
+    # silently resume another config's weights ---
+    best_tag = f"lr{best['lr']}_tau{best['tau']}".replace(".", "p")
+    final_ck = pretrain(f"final_{best_tag}", best["lr"], best["tau"], args.final_epochs)
 
     # --- grid: {scratch, ssl} x fractions x seeds ---
     rows = []
