@@ -449,7 +449,10 @@ def _predict3d_bench(args):
     import jax
     import jax.numpy as jnp
 
-    from medical_image_segmentation_tpu.eval.sliding_window import sliding_window_predict_3d
+    from medical_image_segmentation_tpu.eval.sliding_window import (
+        make_fused_predictor_3d,
+        sliding_window_predict_3d,
+    )
     from medical_image_segmentation_tpu.train.seg3d_task import Segmentation3DTask
 
     if args.store is not None or args.precrop:
@@ -476,9 +479,18 @@ def _predict3d_bench(args):
     rng = np.random.default_rng(0)
     volume = jnp.asarray(rng.random((*vol, 1)).astype(np.float32))
 
-    def run():
-        return sliding_window_predict_3d(
-            window_fn, volume, window=window, batch_windows=args.batch_size)
+    if args.sw_loop:
+        def run():
+            return sliding_window_predict_3d(
+                window_fn, volume, window=window, batch_windows=args.batch_size)
+    else:
+        # serving default: ONE jitted program per volume (extract + forward +
+        # blend fused into a lax.scan; coords device-resident at build time)
+        run_fused = make_fused_predictor_3d(
+            window_fn, volume.shape, window=window, batch_windows=args.batch_size)
+
+        def run():
+            return run_fused(volume)
 
     def fence(m):
         return float(jnp.ravel(m)[0])
@@ -516,6 +528,7 @@ def _predict3d_bench(args):
         "unit": "volumes/sec/chip",
         "vs_baseline": round(vols_per_sec * vol[0] / 5000.0, 4),
         "task": "predict3d", "mfu": mfu,
+        "sw_mode": "loop" if args.sw_loop else "fused",
         "volume": list(vol), "window": list(window),
         "windows_per_volume": n_win,
         "volume_latency_ms_p50": round(float(np.percentile(lat, 50)) * 1e3, 2),
@@ -569,6 +582,10 @@ def main():
                          "predict3d: whole-volume sliding-window serving "
                          "(vol/s + per-volume latency); "
                          "device-resident batches only")
+    ap.add_argument("--sw_loop", action="store_true",
+                    help="predict3d: use the multi-program loop variant of "
+                         "sliding-window inference instead of the fused "
+                         "one-dispatch program (A/B lever for the serving row)")
     ap.add_argument("--exported", action="store_true",
                     help="predict: additionally export a .misx-equivalent "
                          "artifact (jax.export) and time its bucket function")

@@ -61,7 +61,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
     from medical_image_segmentation_tpu.core.checkpoint import resolve_checkpoint_path, restore_checkpoint
     from medical_image_segmentation_tpu.data.nifti import read_nifti, write_nifti
-    from medical_image_segmentation_tpu.eval.sliding_window import sliding_window_predict_3d
+    from medical_image_segmentation_tpu.eval.sliding_window import (
+        make_fused_predictor_3d,
+        sliding_window_predict_3d,
+    )
     from medical_image_segmentation_tpu.parallel import make_mesh, replicated
     from medical_image_segmentation_tpu.train.seg3d_task import Segmentation3DTask
 
@@ -120,6 +123,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
     t0 = time.time()
     n_vox = 0
+    fused_cache = {}
     for name in names:
         vol = read_nifti(os.path.join(args.images_dir, name)).get_fdata()
         if vol.ndim == 4:
@@ -134,10 +138,22 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             x = np.asarray(apply_hu_windows(jnp.asarray(x), hu_windows))
         if normalize_host:  # exported artifacts normalize (+window) inside
             x = (x - args.mean) / args.std
-        logits = sliding_window_predict_3d(
-            window_fn, jnp.asarray(x), window=tuple(args.window),
-            batch_windows=args.batch_windows, mesh=mesh,
-        )
+        if mesh is not None and int(np.prod(list(mesh.shape.values()))) > 1:
+            # multi-chip: shard window batches over the data axis (loop variant)
+            logits = sliding_window_predict_3d(
+                window_fn, jnp.asarray(x), window=tuple(args.window),
+                batch_windows=args.batch_windows, mesh=mesh,
+            )
+        else:
+            # single chip: ONE fused dispatch per volume, specialized (and
+            # cached) per volume-shape class — kills per-batch program-launch
+            # and coordinate-upload latency on remote-device links
+            pred = fused_cache.get(x.shape)
+            if pred is None:
+                pred = fused_cache[x.shape] = make_fused_predictor_3d(
+                    window_fn, x.shape, window=tuple(args.window),
+                    batch_windows=args.batch_windows)
+            logits = pred(jnp.asarray(x))
         mask = (jax.nn.sigmoid(logits.astype(jnp.float32)) > args.threshold)
         mask = np.moveaxis(np.asarray(mask[..., 0], np.uint8), 0, -1)  # back to (X, Y, Z)
         stem = name.split(".nii")[0]

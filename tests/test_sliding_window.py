@@ -80,6 +80,94 @@ class TestSlidingWindow:
         assert np.isfinite(np.asarray(logits)).all()
 
 
+class TestFusedPredictor:
+    """One-dispatch fused sliding-window (serving path) must match the
+    loop variant exactly — including tail-batch masking and small-input
+    padding."""
+
+    def test_3d_parity_with_loop_variant(self):
+        from medical_image_segmentation_tpu.eval.sliding_window import (
+            make_fused_predictor_3d,
+            sliding_window_predict_3d,
+        )
+
+        def fn(w):
+            return jnp.stack([w[..., 0] * 2.0 + 1.0, -w[..., 0]], axis=-1)
+
+        rng = np.random.default_rng(3)
+        vol = jnp.asarray(rng.normal(size=(20, 30, 26, 1)).astype(np.float32))
+        ref = sliding_window_predict_3d(fn, vol, window=(8, 16, 16),
+                                        stride=(4, 8, 8), batch_windows=3,
+                                        num_classes=2)
+        fused = make_fused_predictor_3d(fn, vol.shape, window=(8, 16, 16),
+                                        stride=(4, 8, 8), batch_windows=3,
+                                        num_classes=2)
+        out = fused(vol)
+        assert out.shape == ref.shape == (20, 30, 26, 2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_3d_tail_batch_masking(self):
+        """Window count NOT divisible by batch_windows: padded duplicate
+        coords must contribute nothing (identity model reconstructs)."""
+        from medical_image_segmentation_tpu.eval.sliding_window import make_fused_predictor_3d
+
+        rng = np.random.default_rng(4)
+        vol = jnp.asarray(rng.normal(size=(12, 24, 24, 1)).astype(np.float32))
+        # 2x3x3 = 18 windows, batch 4 -> pad 2
+        fused = make_fused_predictor_3d(lambda w: w, vol.shape, window=(8, 16, 16),
+                                        batch_windows=4)
+        np.testing.assert_allclose(np.asarray(fused(vol)), np.asarray(vol),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_3d_pads_small_volumes(self):
+        from medical_image_segmentation_tpu.eval.sliding_window import make_fused_predictor_3d
+
+        vol = jnp.ones((4, 10, 10, 1), jnp.float32)
+        fused = make_fused_predictor_3d(lambda w: w * 2.0, vol.shape, window=(8, 16, 16))
+        out = fused(vol)
+        assert out.shape == (4, 10, 10, 1)
+        np.testing.assert_allclose(np.asarray(out), 2.0, rtol=1e-5)
+
+    def test_3d_unet_matches_loop(self):
+        from medical_image_segmentation_tpu.eval.sliding_window import (
+            make_fused_predictor_3d,
+            sliding_window_predict_3d,
+        )
+        from medical_image_segmentation_tpu.train.seg3d_task import Segmentation3DTask
+
+        task = Segmentation3DTask(features=(4, 8), dtype=jnp.float32)
+        state = task.init(jax.random.key(0), (1, 8, 16, 16, 1))
+
+        @jax.jit
+        def window_fn(w):
+            return task.model.apply({"params": state.params}, w, train=False)
+
+        rng = np.random.default_rng(5)
+        big = jnp.asarray(rng.random((12, 24, 24, 1)).astype(np.float32))
+        ref = sliding_window_predict_3d(window_fn, big, window=(8, 16, 16),
+                                        batch_windows=2)
+        fused = make_fused_predictor_3d(window_fn, big.shape, window=(8, 16, 16),
+                                        batch_windows=2)
+        np.testing.assert_allclose(np.asarray(fused(big)), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_2d_parity_with_loop_variant(self):
+        from medical_image_segmentation_tpu.eval.sliding_window import (
+            make_fused_predictor_2d,
+            sliding_window_predict,
+        )
+
+        rng = np.random.default_rng(6)
+        img = jnp.asarray(rng.normal(size=(70, 90, 1)).astype(np.float32))
+        ref = sliding_window_predict(lambda w: w * 3.0, img, window=32,
+                                     stride=16, batch_windows=4)
+        fused = make_fused_predictor_2d(lambda w: w * 3.0, img.shape, window=32,
+                                        stride=16, batch_windows=4)
+        np.testing.assert_allclose(np.asarray(fused(img)), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+
 class TestDiceCE:
     @pytest.mark.slow
     def test_dice_ce_loss_larger_than_dice(self):
