@@ -191,10 +191,18 @@ class VolumeLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, ...]]:
+        for chunk in self.iter_index_batches():
+            cols = zip(*(self.ds[int(i)] for i in chunk))
+            yield tuple(np.stack(c) for c in cols)  # (imgs, masks) or (imgs,)
+
+    def iter_index_batches(self) -> Iterator[np.ndarray]:
+        """Same shuffle/shard/drop-last contract as ``__iter__`` (including
+        the epoch bump, so resume and data order stay bit-identical), but
+        yields the int32 INDEX batches instead of materialized volumes — the
+        feed for device-resident corpus caches (``--device_cache``), where
+        batches are gathered on-device and only indices cross the wire."""
         idx = self._indices()
         self.epoch += 1
         end = len(idx) - (len(idx) % self.batch_size) if self.drop_last else len(idx)
         for s in range(0, end, self.batch_size):
-            chunk = idx[s:s + self.batch_size]
-            cols = zip(*(self.ds[int(i)] for i in chunk))
-            yield tuple(np.stack(c) for c in cols)  # (imgs, masks) or (imgs,)
+            yield idx[s:s + self.batch_size].astype(np.int32)

@@ -77,6 +77,11 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
                     help="keep decoded volumes in host RAM between epochs "
                          "(len(ds)·∏volume_size·8 bytes; NIfTI gunzip+parse "
                          "otherwise repeats every epoch)")
+    ap.add_argument("--device_cache", action="store_true",
+                    help="ship each split's volumes+masks to device HBM once "
+                         "and gather batches on-device by index — train AND "
+                         "per-epoch val cost zero host→device volume traffic "
+                         "(narrow-link/few-core hosts; single-process only)")
     ap.add_argument("--skip_hbm_check", action="store_true",
                     help="skip the pre-run projected-HBM guard (one extra AOT "
                          "compile; cached when JAX_COMPILATION_CACHE_DIR is set)")
@@ -193,21 +198,68 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             y = jax.lax.with_sharding_constraint(y, vol_sharding)
         return task.train_step(state, x, y)
 
+    from medical_image_segmentation_tpu.core.hbm import guard_step
+    from medical_image_segmentation_tpu.parallel.mesh import data_sharding
+
+    train_corpus = None
+    if args.device_cache:
+        if nproc > 1:
+            raise SystemExit("--device_cache is single-process only (a per-host "
+                             "corpus would desynchronize the global shuffle); "
+                             "use --cache_volumes on multi-host runs")
+
+        def build_corpus(ds):
+            """(imgs f32, masks u8) device-resident; masks binarized 0/1 so
+            the u8→f32 cast back is exact."""
+            imgs, msks = zip(*(ds[i] for i in range(len(ds))))
+            iv = jax.device_put(jnp.asarray(np.stack(imgs)), replicated(mesh))
+            mv = jax.device_put(jnp.asarray(np.stack(msks).astype(np.uint8)),
+                                replicated(mesh))
+            return iv, mv
+
+        train_corpus = build_corpus(ds_train)
+        print(f"device corpus cache (train): {len(ds_train)} volumes, "
+              f"{(train_corpus[0].nbytes + train_corpus[1].nbytes) / 2**30:.2f} "
+              f"GiB HBM resident", file=sys.stderr)
+
+        # corpora are ARGUMENTS, not closure captures: closed-over jax.Arrays
+        # are hoisted as compile-time constants, and GiB-scale constants
+        # stall lowering/cache serialization; as parameters the device-
+        # resident arrays are passed by reference each call
+        @partial(jax.jit, donate_argnums=0)
+        def train_step_cached(state, iv, mv, idx, key):
+            vols = jnp.take(iv, idx, axis=0)
+            msks = jnp.take(mv, idx, axis=0).astype(jnp.float32)
+            x, y = segmentation_augment_3d(key, vols, msks, out_size=crop,
+                                           mean=mean, std=std,
+                                           hu_windows=hu_windows,
+                                           train=True, dtype=dtype)
+            if vol_sharding is not None:
+                x = jax.lax.with_sharding_constraint(x, vol_sharding)
+                y = jax.lax.with_sharding_constraint(y, vol_sharding)
+            return task.train_step(state, x, y)
+
     # Projected-HBM guard (the seg3d spill cliff: batch 96 → 284 vol/s but
     # batch 112 → 34.9 vol/s on a v5e, BASELINE.md — XLA runs oversubscribed
     # programs ~8x slower instead of failing). AOT-compile the step at the
     # exact batch shapes and refuse if XLA's static memory plan exceeds the
     # device, BEFORE the user pays for a silently crippled run. Skipped on
     # CPU backends (no capacity to check; tests use the virtual CPU mesh).
-    from medical_image_segmentation_tpu.core.hbm import guard_step
-    from medical_image_segmentation_tpu.parallel.mesh import data_sharding
-
-    spec = jax.ShapeDtypeStruct(
-        (args.batch_size, *args.volume_size, 1), jnp.float32,
-        sharding=data_sharding(mesh, ndim=5))
-    guard_step(train_step, (state, spec, spec, jax.random.key(0)),
-               label=f"seg3d train step (batch {args.batch_size})",
-               skip=args.skip_hbm_check, force=args.force_hbm)
+    if train_corpus is not None:
+        idx_spec = jax.ShapeDtypeStruct((per_host,), jnp.int32)
+        specs = tuple(jax.ShapeDtypeStruct(c.shape, c.dtype, sharding=c.sharding)
+                      for c in train_corpus)
+        guard_step(train_step_cached,
+                   (state, *specs, idx_spec, jax.random.key(0)),
+                   label=f"seg3d cached train step (batch {args.batch_size})",
+                   skip=args.skip_hbm_check, force=args.force_hbm)
+    else:
+        spec = jax.ShapeDtypeStruct(
+            (args.batch_size, *args.volume_size, 1), jnp.float32,
+            sharding=data_sharding(mesh, ndim=5))
+        guard_step(train_step, (state, spec, spec, jax.random.key(0)),
+                   label=f"seg3d train step (batch {args.batch_size})",
+                   skip=args.skip_hbm_check, force=args.force_hbm)
 
     @jax.jit
     def eval_step(state, vols, msks):
@@ -216,25 +268,61 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                                        hu_windows=hu_windows)
         return task.eval_step(state, x, y)
 
-    def run_eval(split: str):
+    # eval contexts are built ONCE per split and reused every epoch (the old
+    # per-epoch dataset rebuild re-decoded NIfTIs each time); --device_cache
+    # additionally pins each split's volumes on device so per-epoch val costs
+    # zero host→device volume traffic
+    _eval_ctx: dict = {}
+
+    def _get_eval_ctx(split: str):
+        if split in _eval_ctx:
+            return _eval_ctx[split]
+        ctx = None
         try:
             ds = DecathlonVolumeDataset(args.images_dir, args.masks_dir,
                                         target_shape=tuple(args.volume_size),
-                                        split_file=args.split_file, split=split)
+                                        split_file=args.split_file, split=split,
+                                        cache=args.cache_volumes)
         except ValueError:
+            ds = None
+        if ds is not None:
+            loader = VolumeLoader(ds, per_host, shuffle=False, drop_last=False,
+                                  num_hosts=nproc, host_id=proc)
+            if len(loader) > 0:
+                corpora = build_corpus(ds) if args.device_cache else None
+                ctx = (loader, corpora)
+        _eval_ctx[split] = ctx
+        return ctx
+
+    @jax.jit
+    def eval_step_cached(state, iv, mv, idx):
+        v = jnp.take(iv, idx, axis=0)
+        m = jnp.take(mv, idx, axis=0).astype(jnp.float32)
+        x, y = segmentation_augment_3d(jax.random.key(0), v, m, out_size=crop,
+                                       mean=mean, std=std, train=False,
+                                       dtype=dtype, hu_windows=hu_windows)
+        return task.eval_step(state, x, y)
+
+    def run_eval(split: str):
+        ctx = _get_eval_ctx(split)
+        if ctx is None:
             return None
-        loader = VolumeLoader(ds, per_host, shuffle=False, drop_last=False,
-                              num_hosts=nproc, host_id=proc)
-        if len(loader) == 0:
-            return None
+        loader, corpora = ctx
         aggr = {"loss": 0.0, "dice": 0.0, "iou": 0.0}
         n = 0
-        for vols, msks in loader:
-            b = shard_batch(mesh, {"v": vols, "m": msks})
-            m = eval_step(state, b["v"], b["m"])
-            for k in aggr:
-                aggr[k] += float(m[k])
-            n += 1
+        if corpora is not None:
+            for idx in loader.iter_index_batches():
+                m = eval_step_cached(state, *corpora, jnp.asarray(idx))
+                for k in aggr:
+                    aggr[k] += float(m[k])
+                n += 1
+        else:
+            for vols, msks in loader:
+                b = shard_batch(mesh, {"v": vols, "m": msks})
+                m = eval_step(state, b["v"], b["m"])
+                for k in aggr:
+                    aggr[k] += float(m[k])
+                n += 1
         return {f"{split}/{k}": v / n for k, v in aggr.items()}
 
     logger = CSVMetricsLogger(args.log_dir) if is_main else None
@@ -252,14 +340,21 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         t0 = time.time()
         metrics = {}
         n_vols = 0
-        for i, (vols, msks) in enumerate(train_loader):
+        batches = (train_loader.iter_index_batches() if train_corpus is not None
+                   else train_loader)
+        for i, item in enumerate(batches):
             if args.limit_steps_per_epoch and i >= args.limit_steps_per_epoch:
                 break
             if epoch == start_epoch and i < skip_batches:
                 continue
             key = jax.random.fold_in(key, 1)
-            b = shard_batch(mesh, {"v": vols, "m": msks})
-            state, metrics = train_step(state, b["v"], b["m"], key)
+            if train_corpus is not None:
+                state, metrics = train_step_cached(state, *train_corpus,
+                                                   jnp.asarray(item), key)
+            else:
+                vols, msks = item
+                b = shard_batch(mesh, {"v": vols, "m": msks})
+                state, metrics = train_step(state, b["v"], b["m"], key)
             n_vols += args.batch_size
             if guard.stop_agreed(i):
                 _checkpoint()

@@ -64,6 +64,13 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
                     help="keep decoded volumes in host RAM between epochs "
                          "(len(ds)·∏volume_size·4 bytes; NIfTI gunzip+parse "
                          "otherwise repeats every epoch)")
+    ap.add_argument("--device_cache", action="store_true",
+                    help="ship the WHOLE unlabeled corpus to device HBM once "
+                         "and gather batches on-device by index — epochs then "
+                         "cost zero host→device volume traffic (the narrow-"
+                         "link/few-core analogue of --host_precrop; "
+                         "len(ds)·∏volume_size·4 bytes of HBM; single-process "
+                         "runs only)")
     return ap.parse_args(argv)
 
 
@@ -134,26 +141,65 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     mean, std = (args.mean,), (args.std,)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
 
+    from medical_image_segmentation_tpu.core.hbm import guard_step
+    from medical_image_segmentation_tpu.parallel.mesh import data_sharding
+
     @partial(jax.jit, donate_argnums=0)
     def train_step(state, vols, key):
         v1, v2 = byol_two_view_augment_3d(key, vols, out_size=crop, mean=mean, std=std,
                                           dtype=dtype)
         return task.train_step(state, v1, v2)
 
+    corpus = None
+    if args.device_cache:
+        if nproc > 1:
+            raise SystemExit("--device_cache is single-process only (a per-host "
+                             "corpus would desynchronize the global shuffle); "
+                             "use --cache_volumes on multi-host runs")
+        # one bulk upload, then epochs cost zero volume wire traffic — on
+        # narrow host links (the measured axon tunnel moves ~38 MB/s, which
+        # makes a batch-32 f32 upload 2 s against a ~0.2 s device step) this
+        # is the difference between wire-bound and device-bound pretraining
+        host_corpus = np.stack([ds[i][0] for i in range(len(ds))])
+        corpus = jax.device_put(jnp.asarray(host_corpus), replicated(mesh))
+        del host_corpus
+        print(f"device corpus cache: {len(ds)} volumes, "
+              f"{corpus.nbytes / 2**30:.2f} GiB HBM resident", file=sys.stderr)
+
+        # the corpus is an ARGUMENT, not a closure capture: closed-over
+        # jax.Arrays are hoisted as compile-time constants, and a GiB-scale
+        # constant stalls lowering/cache serialization; as a parameter the
+        # device-resident array is passed by reference each call
+        @partial(jax.jit, donate_argnums=0)
+        def train_step_cached(state, corpus, idx, key):
+            vols = jnp.take(corpus, idx, axis=0)
+            vols = jax.lax.with_sharding_constraint(
+                vols, data_sharding(mesh, ndim=5))
+            v1, v2 = byol_two_view_augment_3d(key, vols, out_size=crop,
+                                              mean=mean, std=std, dtype=dtype)
+            return task.train_step(state, v1, v2)
+
     # Pre-flight projected-HBM guard (VERDICT r4 weak #4): BYOL's two-tower
     # EMA state is HEAVIER per sample than the seg3d step the guard was built
     # for, so the same volumetric spill cliff applies here. AOT-compile at
     # the exact batch shapes and refuse oversubscription before the user
     # pays for a silently ~8x-slower run. No-op on CPU test meshes.
-    from medical_image_segmentation_tpu.core.hbm import guard_step
-    from medical_image_segmentation_tpu.parallel.mesh import data_sharding
-
-    vol_spec = jax.ShapeDtypeStruct(
-        (args.batch_size, *args.volume_size, 1), jnp.float32,
-        sharding=data_sharding(mesh, ndim=5))
-    guard_step(train_step, (state, vol_spec, jax.random.key(0)),
-               label=f"ssl3d train step (batch {args.batch_size})",
-               skip=args.skip_hbm_check, force=args.force_hbm)
+    if corpus is not None:
+        idx_spec = jax.ShapeDtypeStruct((per_host,), jnp.int32)
+        corpus_spec = jax.ShapeDtypeStruct(corpus.shape, corpus.dtype,
+                                           sharding=corpus.sharding)
+        guard_step(train_step_cached,
+                   (state, corpus_spec, idx_spec, jax.random.key(0)),
+                   label=f"ssl3d cached train step (batch {args.batch_size} "
+                         f"+ {corpus.nbytes / 2**30:.2f} GiB corpus)",
+                   skip=args.skip_hbm_check, force=args.force_hbm)
+    else:
+        vol_spec = jax.ShapeDtypeStruct(
+            (args.batch_size, *args.volume_size, 1), jnp.float32,
+            sharding=data_sharding(mesh, ndim=5))
+        guard_step(train_step, (state, vol_spec, jax.random.key(0)),
+                   label=f"ssl3d train step (batch {args.batch_size})",
+                   skip=args.skip_hbm_check, force=args.force_hbm)
 
     logger = CSVMetricsLogger(args.log_dir) if is_main else None
     key = jax.random.fold_in(jax.random.key(args.seed + 1), int(np.asarray(state.step)))
@@ -170,14 +216,19 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         t0 = time.time()
         metrics = {}
         n_vols = 0
-        for i, (vols,) in enumerate(loader):
+        batches = loader.iter_index_batches() if corpus is not None else loader
+        for i, item in enumerate(batches):
             if args.limit_steps_per_epoch and i >= args.limit_steps_per_epoch:
                 break
             if epoch == start_epoch and i < skip_batches:
                 continue
             key = jax.random.fold_in(key, 1)
-            b = shard_batch(mesh, vols)
-            state, metrics = train_step(state, b, key)
+            if corpus is not None:
+                state, metrics = train_step_cached(state, corpus,
+                                                   jnp.asarray(item), key)
+            else:
+                b = shard_batch(mesh, item[0])
+                state, metrics = train_step(state, b, key)
             n_vols += args.batch_size
             if guard.stop_agreed(i):
                 _checkpoint()

@@ -453,6 +453,106 @@ class TestMultiWindow3D:
         assert np.isfinite(float(m["train/loss"]))
 
 
+class TestDeviceCache:
+    """--device_cache gathers batches on-device from an HBM-resident corpus
+    instead of shipping volumes every step. Same seed ⇒ the same index
+    stream and f32 corpus values, so the training trajectory must match the
+    host-fed path to FP-reassociation tolerance (the fused gather+augment
+    program associates f32 arithmetic differently)."""
+
+    def _volumes(self, tmp_path, n=8):
+        from medical_image_segmentation_tpu.data.nifti import write_nifti
+
+        rng = np.random.default_rng(0)
+        img_d, msk_d = tmp_path / "imagesTr", tmp_path / "labelsTr"
+        img_d.mkdir(exist_ok=True); msk_d.mkdir(exist_ok=True)
+        for v in range(n):
+            seg = np.zeros((16, 16, 8), np.uint8)
+            seg[4:12, 4:12, 2:6] = 1
+            vol = (seg * 120.0 + rng.normal(40, 15, seg.shape)).astype(np.float32)
+            write_nifti(str(img_d / f"la_{v:03d}.nii.gz"), vol)
+            write_nifti(str(msk_d / f"la_{v:03d}.nii.gz"), seg)
+        return img_d, msk_d
+
+    @staticmethod
+    def _metric_rows(log_dir, name):
+        import csv
+        import glob
+
+        csvs = sorted(glob.glob(os.path.join(log_dir, "lightning_logs",
+                                             "version_*", "metrics.csv")))
+        vals = []
+        with open(csvs[-1]) as f:
+            for row in csv.DictReader(f):
+                if row.get(name) not in (None, ""):
+                    vals.append(float(row[name]))
+        return vals
+
+    def test_iter_index_batches_matches_iter(self, tmp_path):
+        from medical_image_segmentation_tpu.data.volumes import (
+            DecathlonVolumeDataset,
+            VolumeLoader,
+        )
+
+        img_d, msk_d = self._volumes(tmp_path)
+        ds = DecathlonVolumeDataset(str(img_d), str(msk_d),
+                                    target_shape=(8, 16, 16), cache=True)
+        a = VolumeLoader(ds, 3, shuffle=True, seed=5)
+        b = VolumeLoader(ds, 3, shuffle=True, seed=5)
+        for _ in range(3):  # epoch bump must stay in lockstep
+            mat = list(a)
+            idx = list(b.iter_index_batches())
+            assert len(mat) == len(idx)
+            for (imgs, msks), chunk in zip(mat, idx):
+                np.testing.assert_array_equal(
+                    imgs, np.stack([ds[int(i)][0] for i in chunk]))
+                np.testing.assert_array_equal(
+                    msks, np.stack([ds[int(i)][1] for i in chunk]))
+
+    def test_seg3d_device_cache_trajectory_parity(self, tmp_path):
+        from medical_image_segmentation_tpu.train import train_segmentation3d
+
+        img_d, msk_d = self._volumes(tmp_path)
+        base = ["--images_dir", str(img_d), "--masks_dir", str(msk_d),
+                "--volume_size", "8", "16", "16", "--crop_size", "8", "16", "16",
+                "--batch_size", "8", "--max_epochs", "2", "--features", "4", "8",
+                "--warmup_epochs", "0", "--fp32", "--checkpoint_every_epochs", "0"]
+        rc = train_segmentation3d.main(
+            base + ["--log_dir", str(tmp_path / "l_host"),
+                    "--checkpoint_dir", str(tmp_path / "c_host")])
+        assert rc == 0
+        rc = train_segmentation3d.main(
+            base + ["--device_cache",
+                    "--log_dir", str(tmp_path / "l_dev"),
+                    "--checkpoint_dir", str(tmp_path / "c_dev")])
+        assert rc == 0
+        host = self._metric_rows(str(tmp_path / "l_host"), "train/loss")
+        dev = self._metric_rows(str(tmp_path / "l_dev"), "train/loss")
+        assert host and len(host) == len(dev)
+        np.testing.assert_allclose(host, dev, rtol=1e-4)
+
+    def test_ssl3d_device_cache_trajectory_parity(self, tmp_path):
+        from medical_image_segmentation_tpu.train import train_ssl3d
+
+        img_d, _ = self._volumes(tmp_path)
+        base = ["--images_dir", str(img_d),
+                "--volume_size", "8", "16", "16", "--crop_size", "8", "8", "8",
+                "--batch_size", "8", "--max_epochs", "2", "--features", "4", "8",
+                "--hidden_dim", "16", "--projection_dim", "8",
+                "--warmup_epochs", "0", "--fp32", "--checkpoint_every_epochs", "0"]
+        rc = train_ssl3d.main(base + ["--log_dir", str(tmp_path / "l_host"),
+                                      "--checkpoint_dir", str(tmp_path / "c_host")])
+        assert rc == 0
+        rc = train_ssl3d.main(base + ["--device_cache",
+                                      "--log_dir", str(tmp_path / "l_dev"),
+                                      "--checkpoint_dir", str(tmp_path / "c_dev")])
+        assert rc == 0
+        host = self._metric_rows(str(tmp_path / "l_host"), "loss")
+        dev = self._metric_rows(str(tmp_path / "l_dev"), "loss")
+        assert host and len(host) == len(dev)
+        np.testing.assert_allclose(host, dev, rtol=1e-4)
+
+
 class TestZeroStepRefusal:
     """Drop-last batching at batch > train-set size yields 0 steps/epoch;
     the trainers must refuse instead of silently training nothing (the

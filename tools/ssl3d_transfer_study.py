@@ -65,7 +65,8 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
 _CACHE_DIR = ""  # set by main() from --workdir: ONE cache for the whole study
 
 
-_STALL_S = 420       # no-log-growth kill threshold (epochs log every ~30-60 s)
+_STALL_S = 600       # no-log-growth kill threshold (epochs log every ~5-60 s;
+                     # must also cover a cold first compile of the 3D program)
 _RETRY_BACKOFF = (180, 900)  # seconds to wait before each retry
 
 
@@ -204,12 +205,16 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             # --resume: a VM restart mid-pretrain must not discard epochs
             # already paid for — the trainer no-ops it when the checkpoint
             # dir is empty, so fresh runs are unaffected.
+            # --device_cache: the corpus lives in HBM and batches gather
+            # on-device — without it the axon tunnel's ~38 MB/s uplink makes
+            # every batch-32 f32 upload cost 2 s against a ~0.2 s device step
+            # (measured 16 vol/s wire-bound vs device-bound with the cache)
             _run([py, "-m", "medical_image_segmentation_tpu.train.train_ssl3d",
                   "--images_dir", unl_dir, *vol, "--resume",
                   "--batch_size", str(args.batch_size),
                   "--max_epochs", str(epochs),
                   "--learning_rate", str(lr), "--ema_momentum", str(tau),
-                  "--features", *feats, "--cache_volumes",
+                  "--features", *feats, "--cache_volumes", "--device_cache",
                   "--checkpoint_every_epochs", "50",
                   "--checkpoint_dir", ck,
                   "--log_dir", os.path.join(ws, f"logs_ssl_{tag}")],
@@ -233,7 +238,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                    "--split_file", split_file, *vol,
                    "--batch_size", str(batch),
                    "--max_epochs", str(epochs), "--seed", str(seed),
-                   "--features", *feats, "--cache_volumes",
+                   "--features", *feats, "--cache_volumes", "--device_cache",
                    "--checkpoint_every_epochs", "0",
                    "--checkpoint_dir", os.path.join(ws, f"ckpt_seg_{tag}"),
                    "--log_dir", log_dir]
