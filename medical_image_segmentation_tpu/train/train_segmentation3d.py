@@ -69,6 +69,11 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     ap.add_argument("--full_res_window", type=int, nargs=3, default=None, metavar=("D", "H", "W"),
                     help="after training, evaluate test volumes at native resolution "
                          "via overlapped sliding-window blending (eval/sliding_window.py)")
+    ap.add_argument("--eval_every_epochs", type=int, default=1,
+                    help="run the val split every N epochs (the final epoch "
+                         "always evaluates; test always runs at the end) — "
+                         "on high-latency device links the per-epoch metric "
+                         "fences can dominate short-epoch fine-tunes")
     ap.add_argument("--limit_steps_per_epoch", type=int, default=0)
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--fp32", dest="bf16", action="store_false")
@@ -369,7 +374,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                       f"{n_vols/(time.time()-t0):.1f} vol/s", file=sys.stderr)
                 logger.log({k: float(v) for k, v in metrics.items()},
                            step=int(np.asarray(state.step)), epoch=epoch)
-        val = run_eval("val")
+        val = (run_eval("val")
+               if args.eval_every_epochs and (
+                   (epoch + 1) % args.eval_every_epochs == 0
+                   or epoch + 1 == args.max_epochs)
+               else None)
         if val and is_main:
             print(f"epoch {epoch}: " + " ".join(f"{k}={v:.4f}" for k, v in val.items()), file=sys.stderr)
             logger.log(val, step=int(np.asarray(state.step)), epoch=epoch)

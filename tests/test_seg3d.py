@@ -553,6 +553,41 @@ class TestDeviceCache:
         np.testing.assert_allclose(host, dev, rtol=1e-4)
 
 
+class TestEvalCadence:
+    def test_eval_every_epochs_skips_intermediate_vals(self, tmp_path):
+        """--eval_every_epochs N: val rows appear only at multiples of N and
+        at the final epoch; the end-of-training test row always runs."""
+        from medical_image_segmentation_tpu.train import train_segmentation3d
+
+        TestDeviceCache._volumes(TestDeviceCache(), tmp_path)
+        rc = train_segmentation3d.main([
+            "--images_dir", str(tmp_path / "imagesTr"),
+            "--masks_dir", str(tmp_path / "labelsTr"),
+            "--volume_size", "8", "16", "16", "--crop_size", "8", "16", "16",
+            "--batch_size", "8", "--max_epochs", "3", "--features", "4", "8",
+            "--warmup_epochs", "0", "--fp32", "--checkpoint_every_epochs", "0",
+            "--eval_every_epochs", "2",
+            "--log_dir", str(tmp_path / "logs"),
+            "--checkpoint_dir", str(tmp_path / "ckpt")])
+        assert rc == 0
+        import csv
+        import glob
+
+        csvs = sorted(glob.glob(os.path.join(
+            str(tmp_path / "logs"), "lightning_logs", "version_*", "metrics.csv")))
+        val_epochs = []
+        has_test = False
+        with open(csvs[-1]) as f:
+            for row in csv.DictReader(f):
+                if row.get("val/dice") not in (None, ""):
+                    val_epochs.append(int(float(row["epoch"])))
+                if row.get("test/dice") not in (None, ""):
+                    has_test = True
+        # epochs are 0-indexed: eval after epoch 1 (2nd) and epoch 2 (final)
+        assert val_epochs == [1, 2]
+        assert has_test
+
+
 class TestZeroStepRefusal:
     """Drop-last batching at batch > train-set size yields 0 steps/epoch;
     the trainers must refuse instead of silently training nothing (the

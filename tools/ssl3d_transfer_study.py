@@ -239,6 +239,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                    "--batch_size", str(batch),
                    "--max_epochs", str(epochs), "--seed", str(seed),
                    "--features", *feats, "--cache_volumes", "--device_cache",
+                   # per-epoch val fences dominate short epochs on the
+                   # high-latency tunnel; the final-epoch eval + test still
+                   # produce every metric the report reads
+                   "--eval_every_epochs", "10",
                    "--checkpoint_every_epochs", "0",
                    "--checkpoint_dir", os.path.join(ws, f"ckpt_seg_{tag}"),
                    "--log_dir", log_dir]
