@@ -241,17 +241,26 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
     if args.sliding_window:
         from medical_image_segmentation_tpu.eval.sliding_window import (
-            make_unet_window_fn, sliding_window_predict)
+            make_fused_predictor_2d, make_unet_window_fn, sliding_window_predict)
 
         window_fn = make_unet_window_fn(task, jax.device_get(state))
+        multi_chip = len(jax.devices()) > 1
+        fused_cache: dict = {}
         for name, img in batched_sources():
             x = img.astype(np.float32)[..., None] / 255.0  # (H, W, 1)
             if hu_windows:
                 x = np.asarray(apply_hu_windows(jnp.asarray(x), hu_windows))
             x = (x - mean) / std
-            logits = sliding_window_predict(
-                window_fn, jnp.asarray(x), window=args.sliding_window,
-                mesh=mesh)  # window batches sharded over all chips
+            if multi_chip:  # window batches sharded over all chips
+                logits = sliding_window_predict(
+                    window_fn, jnp.asarray(x), window=args.sliding_window,
+                    mesh=mesh)
+            else:  # ONE fused dispatch per image, cached per shape class
+                pred = fused_cache.get(x.shape)
+                if pred is None:
+                    pred = fused_cache[x.shape] = make_fused_predictor_2d(
+                        window_fn, x.shape, window=args.sliding_window)
+                logits = pred(jnp.asarray(x))
             mask = np.asarray(post_process_masks(logits, threshold=args.threshold))[..., 0]
             base = os.path.splitext(name)[0] + "_mask.png"
             _write_mask(os.path.join(args.output_dir, base), mask)
