@@ -243,6 +243,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         from medical_image_segmentation_tpu.eval.sliding_window import (
             make_fused_predictor_2d, make_unet_window_fn, sliding_window_predict)
 
+        from medical_image_segmentation_tpu.eval.sliding_window import _window_starts
+
         window_fn = make_unet_window_fn(task, jax.device_get(state))
         multi_chip = len(jax.devices()) > 1
         fused_cache: dict = {}
@@ -251,7 +253,13 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             if hu_windows:
                 x = np.asarray(apply_hu_windows(jnp.asarray(x), hu_windows))
             x = (x - mean) / std
-            if multi_chip:  # window batches sharded over all chips
+            w = args.sliding_window
+            n_win = 1
+            for full in x.shape[:2]:
+                n_win *= len(_window_starts(max(full, w), w, max(1, w // 2)))
+            if multi_chip or n_win > 64:
+                # sharded over all chips, or too many windows for the fused
+                # program's compile time (see predict3d.py) — loop variant
                 logits = sliding_window_predict(
                     window_fn, jnp.asarray(x), window=args.sliding_window,
                     mesh=mesh)

@@ -138,16 +138,28 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             x = np.asarray(apply_hu_windows(jnp.asarray(x), hu_windows))
         if normalize_host:  # exported artifacts normalize (+window) inside
             x = (x - args.mean) / args.std
-        if mesh is not None and int(np.prod(list(mesh.shape.values()))) > 1:
-            # multi-chip: shard window batches over the data axis (loop variant)
+        from medical_image_segmentation_tpu.eval.sliding_window import _window_starts
+
+        n_win = 1
+        for full, w in zip(x.shape[:3], args.window):
+            n_win *= len(_window_starts(max(full, w), w, max(1, w // 2)))
+        multi_chip = mesh is not None and int(np.prod(list(mesh.shape.values()))) > 1
+        if multi_chip or n_win > 64:
+            # multi-chip: shard window batches over the data axis. Large
+            # tilings (>64 windows, e.g. whole-CT 125-window volumes) also
+            # keep the loop variant: XLA compile time of the fused scan
+            # program grows pathologically with the tiling (measured >10 min
+            # at 125 windows vs ~1 min at 12), and at that many windows the
+            # per-batch dispatch overhead is amortized anyway
             logits = sliding_window_predict_3d(
                 window_fn, jnp.asarray(x), window=tuple(args.window),
                 batch_windows=args.batch_windows, mesh=mesh,
             )
         else:
-            # single chip: ONE fused dispatch per volume, specialized (and
-            # cached) per volume-shape class — kills per-batch program-launch
-            # and coordinate-upload latency on remote-device links
+            # single chip, moderate tiling: ONE fused dispatch per volume,
+            # specialized (and cached) per volume-shape class — kills
+            # per-batch program-launch and coordinate-upload latency on
+            # remote-device links (measured 13.3 → 16.7 vol/s, p50 75 → 60 ms)
             pred = fused_cache.get(x.shape)
             if pred is None:
                 pred = fused_cache[x.shape] = make_fused_predictor_3d(
